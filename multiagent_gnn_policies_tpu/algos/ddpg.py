@@ -1,0 +1,364 @@
+"""DDPG with a decentralized delayed-aggregation actor and a centralized
+GNN critic, fused on device.
+
+Re-design of the reference's standalone learner/gnn_ddpg.py:
+  * Ornstein–Uhlenbeck exploration noise per agent/action dim
+    (theta=0.15, sigma=0.2, scale=1 — gnn_ddpg.py:36-76, 309) as a pure
+    scan-carried process;
+  * actor aggregates halfway (``ind_agg = len(hidden)//2``,
+    gnn_ddpg.py:126); critic applies the *current* GSO powers at every
+    layer (centralized critic / decentralized actor split,
+    gnn_ddpg.py:177-186);
+  * target networks with Polyak soft updates after every gradient step
+    (gnn_ddpg.py:93-102, 219-220); Adam lrs 1e-5 / 1e-4 (gnn_ddpg.py:135-136);
+  * updates run INSIDE the env-step loop (gnn_ddpg.py:346-351), unlike the
+    imitation learners;
+  * ``y = r + gamma * notdone * Q_target(s', pi_target(s'))``; critic MSE;
+    actor loss ``-Q(s, pi(s)).mean()`` (gnn_ddpg.py:196-213).
+
+Memory design: the replay buffer stores, per transition, only
+``delay_state(s), delay_gso(s), network(s), network(s'), values(s')`` plus
+action/reward/done — everything else (current-GSO powers for both states,
+the delayed pair for s') is recomputed in the loss via the graph recursions,
+cutting stored bytes ~2.5x vs the reference's whole-object buffer
+(SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from multiagent_gnn_policies_tpu.algos.replay import (
+    replay_init,
+    replay_insert_batch,
+    replay_sample,
+)
+from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams, make_env
+from multiagent_gnn_policies_tpu.models.actor import (
+    ActorConfig,
+    actor_forward,
+    init_actor,
+)
+from multiagent_gnn_policies_tpu.models.critic import (
+    CriticConfig,
+    critic_forward,
+    init_critic,
+)
+from multiagent_gnn_policies_tpu.ops.graph import (
+    delayed_gso_update,
+    gso_powers,
+    history_shift,
+    initial_graph_state,
+    update_graph_state,
+)
+from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+from multiagent_gnn_policies_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPGConfig:
+    actor: ActorConfig
+    critic: CriticConfig
+    env_name: str
+    env: FlockingParams
+    batch_size: int = 100
+    buffer_size: int = 10000
+    updates_per_step: int = 1
+    actor_lr: float = 1e-5       # hardcoded in the reference (gnn_ddpg.py:135)
+    critic_lr: float = 1e-4      # (gnn_ddpg.py:136)
+    gamma: float = 0.99
+    tau: float = 0.5
+    n_train_episodes: int = 200
+    test_interval: int = 10
+    n_test_episodes: int = 10
+    ou_theta: float = 0.15
+    ou_sigma: float = 0.2
+    ou_scale: float = 1.0
+    seed: int = 8
+
+    @classmethod
+    def from_experiment(cls, x: ExperimentConfig) -> "DDPGConfig":
+        hidden = x.hidden
+        actor = ActorConfig(
+            n_s=x.n_states, n_a=x.n_actions, hidden=hidden, k=x.k,
+            ind_agg=len(hidden) // 2,   # aggregate halfway (gnn_ddpg.py:126)
+        )
+        critic = CriticConfig(n_s=x.n_states, n_a=x.n_actions, hidden=hidden, k=x.k)
+        env = FlockingParams(
+            n_agents=x.n_agents, comm_radius=x.comm_radius, dt=x.dt,
+            v_max=x.v_max, episode_steps=x.episode_steps,
+        )
+        return cls(
+            actor=actor, critic=critic, env_name=x.env, env=env,
+            batch_size=x.batch_size, buffer_size=x.buffer_size,
+            updates_per_step=x.updates_per_step, gamma=x.gamma, tau=x.tau,
+            n_train_episodes=x.n_train_episodes,
+            n_test_episodes=x.n_test_episodes, seed=x.seed,
+        )
+
+
+class OUState(NamedTuple):
+    """Ornstein–Uhlenbeck process state (per agent, per action dim)."""
+
+    x: jax.Array  # (N, n_a)
+
+
+def ou_reset(n_agents: int, n_a: int) -> OUState:
+    return OUState(x=jnp.zeros((n_agents, n_a)))
+
+
+def ou_step(state: OUState, key: jax.Array, theta: float, sigma: float) -> OUState:
+    dx = theta * (0.0 - state.x) + sigma * jax.random.normal(key, state.x.shape)
+    return OUState(x=state.x + dx)
+
+
+class TrainState(NamedTuple):
+    actor: object
+    actor_target: object
+    critic: object
+    critic_target: object
+    actor_opt: object
+    critic_opt: object
+
+
+def _soft_update(target, source, tau: float):
+    """Polyak: target <- (1-tau)*target + tau*source (gnn_ddpg.py:93-102)."""
+    return jax.tree.map(lambda t, s: (1.0 - tau) * t + tau * s, target, source)
+
+
+class DDPG:
+    """Driver: owns the train state, replay, and the fused jitted episode."""
+
+    def __init__(self, cfg: DDPGConfig, logger: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.env = make_env(cfg.env_name, cfg.env)
+        self.logger = logger or MetricsLogger()
+
+        root = jax.random.key(cfg.seed)
+        self._key, a_key, c_key = jax.random.split(root, 3)
+        actor = init_actor(a_key, cfg.actor)
+        critic = init_critic(c_key, cfg.critic)
+        self.actor_tx = optax.adam(cfg.actor_lr)
+        self.critic_tx = optax.adam(cfg.critic_lr)
+        self.state = TrainState(
+            actor=actor,
+            actor_target=jax.tree.map(jnp.copy, actor),   # hard update at init
+            critic=critic,
+            critic_target=jax.tree.map(jnp.copy, critic),
+            actor_opt=self.actor_tx.init(actor),
+            critic_opt=self.critic_tx.init(critic),
+        )
+
+        p, k, ns, na = cfg.env, cfg.actor.k, cfg.actor.n_s, cfg.actor.n_a
+        n = p.n_agents
+        example = {
+            "delay_state": jnp.zeros((k, n, ns)),
+            "delay_gso": jnp.zeros((k, n, n)),
+            "network": jnp.zeros((n, n)),
+            "next_network": jnp.zeros((n, n)),
+            "next_values": jnp.zeros((n, ns)),
+            "action": jnp.zeros((n, na)),
+            "reward": jnp.zeros(()),
+            "notdone": jnp.zeros(()),
+        }
+        self.buffer = replay_init(cfg.buffer_size, example)
+
+        self._episode = jax.jit(partial(self._episode_impl, self))
+        self._eval = jax.jit(partial(self._eval_impl, self))
+
+    # --- losses ---
+
+    @staticmethod
+    def _losses(self, ts: TrainState, batch):
+        cfg = self.cfg
+        k = cfg.actor.k
+
+        # Reconstruct derived graph quantities from the compact record.
+        curr_gso = jax.vmap(lambda a: gso_powers(a, k))(batch["network"])
+        next_curr_gso = jax.vmap(lambda a: gso_powers(a, k))(batch["next_network"])
+        next_delay_gso = jax.vmap(delayed_gso_update)(
+            batch["next_network"], batch["delay_gso"]
+        )
+        next_delay_state = jax.vmap(history_shift)(
+            batch["delay_state"], batch["next_values"]
+        )
+        values = batch["delay_state"][:, 0]           # x_t == delay slot 0
+
+        # Targets (gnn_ddpg.py:196-199)
+        next_action = actor_forward(
+            ts.actor_target, cfg.actor, next_delay_state, next_delay_gso
+        )
+        q_next = critic_forward(
+            ts.critic_target, cfg.critic,
+            batch["next_values"], next_action, next_curr_gso,
+        )
+        y = batch["reward"][:, None] + cfg.gamma * batch["notdone"][:, None] * q_next
+        y = jax.lax.stop_gradient(y)
+
+        def critic_loss_fn(critic):
+            q = critic_forward(critic, cfg.critic, values, batch["action"], curr_gso)
+            return jnp.mean((q - y) ** 2)
+
+        def actor_loss_fn(actor):
+            pi = actor_forward(actor, cfg.actor, batch["delay_state"], batch["delay_gso"])
+            q = critic_forward(ts.critic, cfg.critic, values, pi, curr_gso)
+            return -jnp.mean(q)
+
+        return critic_loss_fn, actor_loss_fn
+
+    @staticmethod
+    def _gradient_step(self, ts: TrainState, batch) -> Tuple[TrainState, jax.Array, jax.Array]:
+        cfg = self.cfg
+        critic_loss_fn, actor_loss_fn = DDPG._losses(self, ts, batch)
+
+        c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(ts.critic)
+        c_updates, critic_opt = self.critic_tx.update(c_grads, ts.critic_opt)
+        critic = optax.apply_updates(ts.critic, c_updates)
+
+        # actor step uses the freshly-updated critic? No — the reference
+        # optimizes the actor against the critic updated just above
+        # (gnn_ddpg.py:205-216 runs after critic_optim.step()).
+        ts = ts._replace(critic=critic, critic_opt=critic_opt)
+        _, actor_loss_fn = DDPG._losses(self, ts, batch)
+        a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(ts.actor)
+        a_updates, actor_opt = self.actor_tx.update(a_grads, ts.actor_opt)
+        actor = optax.apply_updates(ts.actor, a_updates)
+
+        ts = ts._replace(
+            actor=actor,
+            actor_opt=actor_opt,
+            actor_target=_soft_update(ts.actor_target, actor, cfg.tau),
+            critic_target=_soft_update(ts.critic_target, critic, cfg.tau),
+        )
+        return ts, c_loss, a_loss
+
+    # --- fused episode ---
+
+    @staticmethod
+    def _episode_impl(self, ts: TrainState, buffer, key):
+        cfg = self.cfg
+        env = self.env
+        T = cfg.env.episode_steps
+        reset_key, scan_key = jax.random.split(key)
+        env_state, obs = env.reset(reset_key)
+        gs = initial_graph_state(obs.values, obs.network, cfg.actor.k)
+        ou = ou_reset(cfg.env.n_agents, cfg.actor.n_a)
+
+        def body(carry, step_key):
+            ts, buffer, env_state, gs, ou = carry
+            noise_key, up_key = jax.random.split(step_key)
+
+            ou = ou_step(ou, noise_key, cfg.ou_theta, cfg.ou_sigma)
+            mu = actor_forward(ts.actor, cfg.actor, gs.delay_state, gs.delay_gso)
+            action = jnp.clip(mu + cfg.ou_scale * ou.x, -1.0, 1.0)
+
+            next_env_state, next_obs, r, done = env.step(env_state, action)
+            sample = {
+                "delay_state": gs.delay_state,
+                "delay_gso": gs.delay_gso,
+                "network": gs.network,
+                "next_network": next_obs.network,
+                "next_values": next_obs.values,
+                "action": action,
+                "reward": r,
+                "notdone": 1.0 - done.astype(jnp.float32),
+            }
+            buffer = replay_insert_batch(
+                buffer, jax.tree.map(lambda x: x[None], sample)
+            )
+            gs = update_graph_state(gs, next_obs.values, next_obs.network)
+
+            def do_updates(ts):
+                def one(ts, k):
+                    batch = replay_sample(buffer, k, cfg.batch_size)
+                    ts, c_loss, a_loss = DDPG._gradient_step(self, ts, batch)
+                    return ts, (c_loss, a_loss)
+                keys = jax.random.split(up_key, cfg.updates_per_step)
+                ts, (c_losses, a_losses) = jax.lax.scan(one, ts, keys)
+                return ts, jnp.sum(c_losses), jnp.sum(a_losses)
+
+            ts, c_loss, a_loss = jax.lax.cond(
+                buffer.size > cfg.batch_size,
+                do_updates,
+                lambda ts: (ts, jnp.zeros(()), jnp.zeros(())),
+                ts,
+            )
+            return (ts, buffer, next_env_state, gs, ou), (r, c_loss, a_loss)
+
+        step_keys = jax.random.split(scan_key, T)
+        (ts, buffer, *_), (rewards, c_losses, a_losses) = jax.lax.scan(
+            body, (ts, buffer, env_state, gs, ou), step_keys
+        )
+        return ts, buffer, jnp.sum(rewards), jnp.sum(c_losses), jnp.sum(a_losses)
+
+    @staticmethod
+    def _eval_impl(self, ts: TrainState, key):
+        cfg = self.cfg
+        env = self.env
+
+        def episode(key):
+            env_state, obs = env.reset(key)
+            gs = initial_graph_state(obs.values, obs.network, cfg.actor.k)
+
+            def body(carry, _):
+                env_state, gs = carry
+                mu = actor_forward(ts.actor, cfg.actor, gs.delay_state, gs.delay_gso)
+                action = jnp.clip(mu, -1.0, 1.0)
+                env_state, obs, r, _ = env.step(env_state, action)
+                gs = update_graph_state(gs, obs.values, obs.network)
+                return (env_state, gs), r
+
+            _, rewards = jax.lax.scan(
+                body, (env_state, gs), None, length=cfg.env.episode_steps
+            )
+            return jnp.sum(rewards)
+
+        keys = jax.random.split(key, cfg.n_test_episodes)
+        return jax.vmap(episode)(keys)
+
+    # --- host API ---
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def evaluate(self) -> Tuple[float, float]:
+        r = np.asarray(self._eval(self.state, self._next_key()))
+        return float(r.mean()), float(r.std())
+
+    def train(self, save_path: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        for ep in range(cfg.n_train_episodes):
+            self.state, self.buffer, ep_reward, c_loss, a_loss = self._episode(
+                self.state, self.buffer, self._next_key()
+            )
+            if ep % cfg.test_interval == 0:
+                mean, std = self.evaluate()
+                self.logger.log(
+                    "eval", episode=ep, reward_mean=mean, reward_std=std,
+                    rollout_reward=float(ep_reward),
+                    critic_loss=float(c_loss), actor_loss=float(a_loss),
+                )
+        mean, std = self.evaluate()
+        self.logger.log("final_eval", reward_mean=mean, reward_std=std)
+        if save_path:
+            from multiagent_gnn_policies_tpu.utils import checkpoint
+
+            checkpoint.save(save_path + ".npz", jax.tree.map(np.asarray, self.state.actor))
+            checkpoint.save(
+                save_path + "_critic.npz", jax.tree.map(np.asarray, self.state.critic)
+            )
+            checkpoint.save_actor_torch_format(save_path, self.state.actor)
+        return {"mean": mean, "std": std}
+
+
+def train_ddpg(cfg: ExperimentConfig, logger=None, save_path=None) -> dict:
+    learner = DDPG(DDPGConfig.from_experiment(cfg), logger)
+    return learner.train(save_path)

@@ -1,0 +1,353 @@
+"""Behavior cloning and DAGGER, fused on device.
+
+TPU-first redesign of the reference's imitation learners
+(learner/gnn_cloning.py, learner/gnn_dagger.py). The reference interleaves
+host-side env stepping, per-step device copies, and 200 per-episode optimizer
+steps of Python — its rollout is host-bound (SURVEY §3.1). Here one training
+round is ONE compiled program:
+
+  round(params, opt, buffer, key, beta):
+      lax.scan over T env steps            # dynamics + radius graph +
+                                           # features + expert + delayed-GSO
+                                           # update + policy fwd + beta coin
+    → scatter the episode chunk into the on-device replay buffer
+    → lax.scan over `updates_per_step` Adam steps (sample → fwd/bwd → update)
+
+``vmap`` over ``n_rollout_envs`` parallel environments multiplies rollout
+throughput; the default of 1 keeps the reference's training semantics
+(400 sequential episodes, cfg/dagger.cfg).
+
+Semantics replicated exactly:
+  * DAGGER beta mixing: per-step expert coin with prob ``beta``, expert
+    labels always, ``beta <- max(beta * beta_coeff, 0.5)`` per episode — the
+    non-standard 0.5 floor included (gnn_dagger.py:148-178);
+  * cloning = expert-only rollouts; evals every ``test_interval`` episodes
+    with best-eval tracking, returning the BEST eval stats
+    (gnn_cloning.py:180-201); DAGGER returns the FINAL eval stats
+    (gnn_dagger.py:221-240);
+  * updates start once the buffer holds more than one batch
+    (gnn_dagger.py:182); MSE loss against expert actions over all elements
+    (gnn_dagger.py:91); Adam with ``actor_lr``;
+  * replay stores the delayed features pre-aggregated (ind_agg == 0,
+    gnn_dagger.py:43) — see algos/replay.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from multiagent_gnn_policies_tpu.algos.replay import (
+    ReplayBuffer,
+    replay_init,
+    replay_insert_batch,
+    replay_sample,
+)
+from multiagent_gnn_policies_tpu.envs.flocking import FlockingEnv, FlockingParams, make_env
+from multiagent_gnn_policies_tpu.models.actor import (
+    ActorConfig,
+    actor_forward,
+    init_actor,
+)
+from multiagent_gnn_policies_tpu.ops.graph import (
+    aggregate,
+    initial_graph_state,
+    update_graph_state,
+)
+from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+from multiagent_gnn_policies_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class ImitationConfig:
+    """Static configuration for an imitation run (hashable, jit-friendly)."""
+
+    mode: str                    # 'dagger' | 'cloning'
+    actor: ActorConfig
+    env_name: str
+    env: FlockingParams
+    batch_size: int = 20
+    buffer_size: int = 10000
+    updates_per_episode: int = 200
+    actor_lr: float = 5e-5
+    n_train_episodes: int = 400
+    beta_coeff: float = 0.993
+    beta_floor: float = 0.5      # gnn_dagger.py:148
+    test_interval: int = 40
+    n_test_episodes: int = 20
+    n_rollout_envs: int = 1
+    seed: int = 11
+
+    @classmethod
+    def from_experiment(cls, x: ExperimentConfig, mode: Optional[str] = None,
+                        k: Optional[int] = None) -> "ImitationConfig":
+        """Build from an INI-backed :class:`ExperimentConfig`. ``k`` override
+        supports transfer evaluation (reference gnn_dagger.py:20)."""
+        actor = ActorConfig(
+            n_s=x.n_states, n_a=x.n_actions, hidden=x.hidden,
+            k=k or x.k, ind_agg=0,
+        )
+        env = FlockingParams(
+            n_agents=x.n_agents, comm_radius=x.comm_radius, dt=x.dt,
+            v_max=x.v_max, episode_steps=x.episode_steps,
+        )
+        return cls(
+            mode=(mode or x.alg), actor=actor, env_name=x.env, env=env,
+            batch_size=x.batch_size, buffer_size=x.buffer_size,
+            updates_per_episode=x.updates_per_step, actor_lr=x.actor_lr,
+            n_train_episodes=x.n_train_episodes, beta_coeff=x.beta_coeff,
+            test_interval=x.test_interval, n_test_episodes=x.n_test_episodes,
+            n_rollout_envs=x.n_rollout_envs, seed=x.seed,
+        )
+
+
+def _policy_action(params, acfg: ActorConfig, gs) -> jax.Array:
+    """Greedy policy action from the current delayed graph state."""
+    agg = aggregate(gs.delay_gso, gs.delay_state)
+    return actor_forward(params, acfg, agg, None)
+
+
+def rollout_episode(
+    params,
+    key: jax.Array,
+    beta: jax.Array,
+    env: FlockingEnv,
+    acfg: ActorConfig,
+    *,
+    mode: str,
+    collect: bool = True,
+):
+    """One fused on-device episode.
+
+    Returns ``(samples, ep_reward)`` where ``samples`` stacks per step the
+    pre-aggregated delayed features and the expert action ((T,K,N,F),
+    (T,N,2)); with ``collect=False`` (greedy eval) returns only the reward.
+    """
+    T = env.params.episode_steps
+    reset_key, scan_key = jax.random.split(key)
+    env_state, obs = env.reset(reset_key)
+    gs = initial_graph_state(obs.values, obs.network, acfg.k)
+
+    def body(carry, step_key):
+        env_state, gs = carry
+        agg = aggregate(gs.delay_gso, gs.delay_state)       # (K, N, F)
+        if mode == "eval":
+            act = actor_forward(params, acfg, agg, None)
+            expert = None
+        else:
+            expert = env.controller(env_state)
+            if mode == "cloning":
+                act = expert                                 # expert-only rollout
+            else:  # dagger: per-step expert coin, expert label regardless
+                learner_act = actor_forward(params, acfg, agg, None)
+                coin = jax.random.bernoulli(step_key, beta)
+                act = jnp.where(coin, expert, learner_act)
+        env_state, obs, r, _ = env.step(env_state, act)
+        gs = update_graph_state(gs, obs.values, obs.network)
+        out = ({"agg": agg, "act": expert}, r) if collect else r
+        return (env_state, gs), out
+
+    step_keys = jax.random.split(scan_key, T)
+    _, out = jax.lax.scan(body, (env_state, gs), step_keys)
+    if collect:
+        samples, rewards = out
+        return samples, jnp.sum(rewards)
+    return jnp.sum(out)
+
+
+def _loss_fn(params, acfg: ActorConfig, batch):
+    pred = actor_forward(params, acfg, batch["agg"], None)   # (B, N, n_a)
+    return jnp.mean((pred - batch["act"]) ** 2)              # F.mse_loss parity
+
+
+class ImitationLearner:
+    """Driver for cloning/DAGGER: owns params, optimizer, buffer, jits."""
+
+    def __init__(self, cfg: ImitationConfig, logger: Optional[MetricsLogger] = None):
+        if cfg.mode not in ("dagger", "cloning"):
+            raise ValueError(f"unknown imitation mode {cfg.mode!r}")
+        self.cfg = cfg
+        self.env = make_env(cfg.env_name, cfg.env)
+        self.logger = logger or MetricsLogger()
+
+        # Optional data-parallel sharding (set by ShardedImitationLearner):
+        # NamedShardings for the env/episode axis and the batch axis.
+        self.shard_episode = None
+        self.shard_batch = None
+
+        root = jax.random.key(cfg.seed)
+        self._key, init_key = jax.random.split(root)
+        self.params = init_actor(init_key, cfg.actor)
+        self.tx = optax.adam(cfg.actor_lr)
+        self.opt_state = self.tx.init(self.params)
+
+        p = cfg.env
+        example = {
+            "agg": jnp.zeros((cfg.actor.k, p.n_agents, cfg.actor.n_s)),
+            "act": jnp.zeros((p.n_agents, cfg.actor.n_a)),
+        }
+        self.buffer = replay_init(cfg.buffer_size, example)
+
+        self._round = jax.jit(partial(self._round_impl, self))
+        self._eval = jax.jit(partial(self._eval_impl, self))
+
+    # --- jitted bodies (self is static via partial) ---
+
+    @staticmethod
+    def _round_impl(self, params, opt_state, buffer, key, beta):
+        cfg = self.cfg
+        ro_key, up_key = jax.random.split(key)
+
+        rollout = partial(
+            rollout_episode, env=self.env, acfg=cfg.actor, mode=cfg.mode
+        )
+        if cfg.n_rollout_envs == 1:
+            samples, ep_reward = rollout(params, ro_key, beta)
+        else:
+            keys = jax.random.split(ro_key, cfg.n_rollout_envs)
+            if self.shard_episode is not None:
+                # data-parallel rollout: one episode batch shard per device
+                keys = jax.lax.with_sharding_constraint(keys, self.shard_episode)
+            samples, ep_rewards = jax.vmap(
+                lambda k: rollout(params, k, beta)
+            )(keys)
+            if self.shard_episode is not None:
+                samples = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, self.shard_episode
+                    ),
+                    samples,
+                )
+            samples = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), samples
+            )
+            ep_reward = jnp.mean(ep_rewards)
+        buffer = replay_insert_batch(buffer, samples)
+
+        def one_update(carry, k):
+            params, opt_state = carry
+            batch = replay_sample(buffer, k, cfg.batch_size)
+            if self.shard_batch is not None:
+                # shard the gradient batch across devices; XLA inserts the
+                # grad psum when applying to replicated params
+                batch = jax.lax.with_sharding_constraint(batch, self.shard_batch)
+            loss, grads = jax.value_and_grad(_loss_fn)(params, cfg.actor, batch)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def run_updates(args):
+            params, opt_state = args
+            n_up = cfg.updates_per_episode * cfg.n_rollout_envs
+            keys = jax.random.split(up_key, n_up)
+            (params, opt_state), losses = jax.lax.scan(
+                one_update, (params, opt_state), keys
+            )
+            return params, opt_state, jnp.sum(losses)
+
+        # reference gates updates on curr_size > batch_size (gnn_dagger.py:182)
+        params, opt_state, loss_sum = jax.lax.cond(
+            buffer.size > cfg.batch_size,
+            run_updates,
+            lambda args: (args[0], args[1], jnp.zeros(())),
+            (params, opt_state),
+        )
+        return params, opt_state, buffer, ep_reward, loss_sum
+
+    @staticmethod
+    def _eval_impl(self, params, key):
+        cfg = self.cfg
+        keys = jax.random.split(key, cfg.n_test_episodes)
+        rewards = jax.vmap(
+            lambda k: rollout_episode(
+                params, k, jnp.zeros(()), self.env, cfg.actor,
+                mode="eval", collect=False,
+            )
+        )(keys)
+        return rewards
+
+    # --- host API ---
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def select_action(self, gs):
+        """Greedy action from a delayed graph state (reference
+        DAGGER.select_action, gnn_dagger.py:55-72)."""
+        return _policy_action(self.params, self.cfg.actor, gs)
+
+    def evaluate(self) -> Tuple[float, float]:
+        rewards = np.asarray(self._eval(self.params, self._next_key()))
+        return float(rewards.mean()), float(rewards.std())
+
+    def train(self, save_path: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        beta = 1.0
+        best = {"mean": -np.inf, "std": 0.0, "params": None}
+        episodes_per_round = cfg.n_rollout_envs
+        n_rounds = max(1, cfg.n_train_episodes // episodes_per_round)
+        total_steps = 0
+
+        for rnd in range(n_rounds):
+            episode = rnd * episodes_per_round
+            if cfg.mode == "dagger":
+                beta = max(beta * cfg.beta_coeff, cfg.beta_floor)
+            self.params, self.opt_state, self.buffer, ep_reward, loss_sum = (
+                self._round(
+                    self.params, self.opt_state, self.buffer,
+                    self._next_key(), jnp.asarray(beta, jnp.float32),
+                )
+            )
+            total_steps += cfg.env.episode_steps * episodes_per_round
+
+            if episode % cfg.test_interval < episodes_per_round:
+                mean, std = self.evaluate()
+                self.logger.log(
+                    "eval", episode=episode, steps=total_steps,
+                    reward_mean=mean, reward_std=std, beta=beta,
+                    policy_loss_sum=float(loss_sum),
+                    rollout_reward=float(ep_reward),
+                )
+                if mean > best["mean"]:
+                    best = {"mean": mean, "std": std,
+                            "params": jax.tree.map(np.asarray, self.params)}
+
+        final_mean, final_std = self.evaluate()
+        self.logger.log("final_eval", reward_mean=final_mean, reward_std=final_std)
+
+        if cfg.mode == "cloning" and best["params"] is not None:
+            # cloning reports (and keeps) the best-seen eval (gnn_cloning.py:195-198)
+            stats = {"mean": best["mean"], "std": best["std"]}
+            save_params = best["params"]
+        else:
+            # dagger reports the final eval (gnn_dagger.py:235-237)
+            stats = {"mean": final_mean, "std": final_std}
+            save_params = self.params
+
+        if save_path:
+            from multiagent_gnn_policies_tpu.utils import checkpoint
+
+            checkpoint.save(save_path + ".npz", save_params)
+            checkpoint.save_actor_torch_format(save_path, save_params)
+        return stats
+
+
+def train_dagger(cfg: ExperimentConfig, logger=None, save_path=None) -> dict:
+    learner = ImitationLearner(
+        ImitationConfig.from_experiment(cfg, mode="dagger"), logger
+    )
+    return learner.train(save_path)
+
+
+def train_cloning(cfg: ExperimentConfig, logger=None, save_path=None) -> dict:
+    learner = ImitationLearner(
+        ImitationConfig.from_experiment(cfg, mode="cloning"), logger
+    )
+    return learner.train(save_path)

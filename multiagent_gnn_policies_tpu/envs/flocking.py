@@ -53,12 +53,14 @@ class FlockingParams:
     v_bias: Optional[float] = None  # shared velocity bias; default = v_max
     max_accel: float = 1.0      # action clip (gym_flock's max_accel)
     gain: float = 1.0           # action gain applied after the clip
-    arena_r2_per_agent: float = 0.5   # squared arena radius per agent:
-    # uniform-disc init with radius sqrt(0.5 * N) puts expected radius-1.0
-    # degree at ~2 for any N (≈7-unit arena at N=100, SURVEY §5)
+    arena_r2_per_agent: float = 0.15  # squared arena radius per agent:
+    # uniform-disc init with radius sqrt(0.15 * N) gives expected radius-1.0
+    # degree ~6.7 for any N — the density at which the min-degree>=2
+    # rejection test passes in a handful of draws (a "few % dense" graph in
+    # a ~7-unit-diameter arena at N=100, SURVEY §5)
     min_separation: float = 0.1  # resample until no pair is closer than this
     min_degree: int = 2          # …and every agent has >= this many neighbors
-    max_resets: int = 64         # bound for the rejection-sampling loop
+    max_resets: int = 256        # bound for the rejection-sampling loop
     episode_steps: int = 200     # gym TimeLimit horizon
     # variant knobs
     n_leaders: int = 0           # FlockingLeader: first n agents ignore control

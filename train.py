@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Experiment driver CLI — same interface as the reference's train.py.
+
+    python3 train.py cfg/dagger.cfg
+
+Reads an INI experiment file (one section = one experiment; [DEFAULT]
+inherited — reference train.py:46-63, and the reference's own cfg files work
+unchanged), runs each section's algorithm, and prints the same CSV rows:
+
+    <header>
+    <section>, <mean>, <std>
+
+Algorithms: dagger | cloning | baseline | ddpg (the reference reaches ddpg
+only via the standalone learner/gnn_ddpg.py; here it is a first-class alg).
+
+Extra (all optional): ``--metrics PATH`` for a JSONL metric stream, and the
+TPU-framework cfg keys documented in utils/config.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def run_experiment(section, metrics_path=None):
+    # Import late so `train.py --help` stays instant.
+    import jax
+    from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+    from multiagent_gnn_policies_tpu.utils.metrics import MetricsLogger
+    from multiagent_gnn_policies_tpu.algos.imitation import train_cloning, train_dagger
+    from multiagent_gnn_policies_tpu.algos.baseline import train_baseline
+
+    cfg = ExperimentConfig.from_section(section)
+    np.random.seed(cfg.seed)  # host-side seeding; device PRNG is keyed per-run
+
+    trainers = {
+        "dagger": train_dagger,
+        "cloning": train_cloning,
+        "baseline": train_baseline,
+    }
+    if cfg.alg == "ddpg":
+        from multiagent_gnn_policies_tpu.algos.ddpg import train_ddpg
+        trainers["ddpg"] = train_ddpg
+    if cfg.alg not in trainers:
+        raise SystemExit(f"Invalid algorithm/mode name: {cfg.alg!r}")
+
+    save_path = None
+    if cfg.fname:
+        save_path = os.path.join("models", f"actor_{cfg.env}_{cfg.fname}")
+
+    with MetricsLogger(metrics_path, echo=cfg.debug) as logger:
+        with jax.default_matmul_precision(
+            "highest" if cfg.matmul_precision == "highest" else "default"
+        ):
+            stats = trainers[cfg.alg](cfg, logger=logger, save_path=save_path)
+    return cfg, stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", help="INI experiment file (reference-compatible)")
+    ap.add_argument("--metrics", default=None, help="JSONL metrics output path")
+    ap.add_argument("--sections", default=None,
+                    help="comma-separated subset of sections to run")
+    args = ap.parse_args(argv)
+
+    from multiagent_gnn_policies_tpu.utils.config import load_ini
+
+    config = load_ini(args.config)
+    only = set(args.sections.split(",")) if args.sections else None
+
+    printed_header = False
+    sections = [s for s in config.sections() if only is None or s in only]
+    if sections:
+        for name in sections:
+            section = config[name]
+            if not printed_header:
+                print(section.get("header"))
+                printed_header = True
+            _, stats = run_experiment(section, args.metrics)
+            print(f"{name}, {stats['mean']}, {stats['std']}")
+    else:
+        _, stats = run_experiment(config[config.default_section], args.metrics)
+        print(stats)
+
+
+if __name__ == "__main__":
+    main()
