@@ -1,0 +1,216 @@
+#!/usr/bin/env python3
+"""Headline benchmark: fused on-device rollout throughput vs the reference.
+
+Prints ONE JSON line:
+
+    {"metric": "rollout_steps_per_s", "value": ..., "unit": "env steps/s",
+     "vs_baseline": ...}
+
+The measured quantity is DAGGER-style data collection on the canonical
+config (FlockingRelative-v0, N=100 agents, K=3 delayed-aggregation GNN,
+T=200-step episodes — cfg/dagger.cfg): per env step, the double-integrator
+dynamics + radius graph + 6-feature observation + expert controller +
+delayed-GSO recursion + policy forward. Ours runs as ONE jitted
+``lax.scan`` program on the TPU (multiagent_gnn_policies_tpu.algos
+.imitation.rollout_episode), vmapped over parallel envs.
+
+``vs_baseline`` is measured live against a faithful re-implementation of
+the reference pipeline (SURVEY §3.1): a Python per-step loop with a NumPy
+env on the host, a torch Conv2d actor, per-step host->device tensor
+wrapping and the dense (K,N,N) delayed-GSO recursion in torch — the
+reference's ``gnn_dagger.py`` hot loop 1 shape, run on CPU (the reference
+falls back to CPU absent CUDA, reference train.py:31). Both sides are
+timed on this machine in this process, so the ratio is hardware-honest.
+
+Extra detail (per-config numbers, edges/s) goes to stderr; stdout carries
+exactly the one JSON line the driver records.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_AGENTS = 100
+K = 3
+HIDDEN = (32, 32)
+T = 200                  # episode length (cfg/dagger.cfg horizon)
+BATCH_ENVS = 16          # parallel envs for the batched number (stderr)
+COMM_RADIUS = 1.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Reference-equivalent baseline: host NumPy env + torch actor, per-step loop.
+# Re-implemented from SURVEY §2.1/§2.2/§2.9 semantics (not copied).
+# ---------------------------------------------------------------------------
+
+def bench_reference_baseline(n_steps: int = 60) -> float:
+    import torch
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    n, k, dt = N_AGENTS, K, 0.01
+
+    # torch actor in the reference's Conv2d parameterization
+    widths = [6, *HIDDEN, 2]
+    layers = torch.nn.ModuleList()
+    for i in range(len(widths) - 1):
+        step = k if i == 0 else 1   # ind_agg = 0
+        layers.append(torch.nn.Conv2d(widths[i], widths[i + 1],
+                                      (step, 1), stride=(step, 1)))
+    device = torch.device("cpu")
+
+    def np_env_step(x, u):
+        """Host NumPy double integrator + radius graph + 6 features."""
+        u = np.clip(u, -1.0, 1.0)
+        pos = x[:, 0:2] + x[:, 2:4] * dt + 0.5 * u * dt * dt
+        vel = x[:, 2:4] + u * dt
+        x = np.concatenate([pos, vel], axis=-1)
+        diff = x[:, None, :] - x[None, :, :]
+        r2 = diff[..., 0] ** 2 + diff[..., 1] ** 2
+        np.fill_diagonal(r2, np.inf)
+        adj = (r2 < COMM_RADIUS**2).astype(np.float64)
+        r2s = np.where(np.isinf(r2), 1.0, r2)
+        feats = np.stack([diff[..., 2], diff[..., 0] / r2s**2,
+                          diff[..., 0] / r2s, diff[..., 3],
+                          diff[..., 1] / r2s**2, diff[..., 1] / r2s], -1)
+        values = np.sum(feats * adj[..., None], axis=1)
+        deg = np.maximum(adj.sum(1, keepdims=True), 1.0)
+        return x, values, adj / deg
+
+    def np_expert(x):
+        """Analytic flocking controller on the host (reference hot loop
+        calls env.env.controller() every step, gnn_dagger.py:156)."""
+        diff = x[:, None, :] - x[None, :, :]
+        r2 = diff[..., 0] ** 2 + diff[..., 1] ** 2
+        np.fill_diagonal(r2, np.inf)
+        r2s = np.where(np.isinf(r2), 1.0, r2)
+        in_range = r2 <= 1.0
+        gx = (-2 * diff[..., 0] / r2s**2 + 2 * diff[..., 0] / r2s) * in_range
+        gy = (-2 * diff[..., 1] / r2s**2 + 2 * diff[..., 1] / r2s) * in_range
+        ux = -np.sum(diff[..., 2] + gx, axis=1)
+        uy = -np.sum(diff[..., 3] + gy, axis=1)
+        return np.clip(np.stack([ux, uy], -1), -10, 10)
+
+    x = rng.uniform(-4, 4, (n, 4))
+    x, values, net = np_env_step(x, np.zeros((n, 2)))
+
+    # delayed state object, rebuilt per step (state_with_delay semantics)
+    gso = torch.zeros(1, k, n, n)
+    gso[0, 0] = torch.eye(n)
+    hist = torch.zeros(1, k, 6, n)
+    hist[0, 0] = torch.from_numpy(values.T).float()
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for _ in range(n_steps):
+            _ = np_expert(x)                                  # expert label
+            # actor forward on the delayed state (B,F,K,N conv layout)
+            h = hist.permute(0, 2, 1, 3)
+            a = torch.matmul(hist, gso).permute(0, 2, 1, 3)   # aggregation
+            a = layers[0](a)
+            for conv in layers[1:-1]:
+                a = conv(torch.tanh(a))
+            act = layers[-1](torch.tanh(a))
+            u = act[0, :, 0, :].T.numpy()                     # device->host
+            x, values, net = np_env_step(x, u)                # host env
+            # next delayed state: dense GSO recursion in torch
+            a_t = torch.from_numpy(net).float().unsqueeze(0)
+            new_gso = torch.zeros_like(gso)
+            new_gso[0, 0] = torch.eye(n)
+            new_gso[:, 1:] = torch.matmul(a_t.unsqueeze(1), gso[:, : k - 1])
+            gso = new_gso
+            new_hist = torch.zeros_like(hist)
+            new_hist[0, 0] = torch.from_numpy(values.T).float()
+            new_hist[:, 1:] = hist[:, : k - 1]
+            hist = new_hist
+            _ = h
+    dt_s = time.perf_counter() - t0
+    return n_steps / dt_s
+
+
+# ---------------------------------------------------------------------------
+# Ours: one jitted lax.scan rollout on the TPU.
+# ---------------------------------------------------------------------------
+
+def bench_tpu_rollout():
+    import jax
+    import jax.numpy as jnp
+    from multiagent_gnn_policies_tpu.algos.imitation import rollout_episode
+    from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams, make_env
+    from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
+
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=HIDDEN, k=K, ind_agg=0)
+    env = make_env("FlockingRelative-v0",
+                   FlockingParams(n_agents=N_AGENTS, episode_steps=T))
+    params = init_actor(jax.random.key(0), acfg)
+    beta = jnp.asarray(0.7, jnp.float32)
+
+    @jax.jit
+    def one_episode(params, key):
+        _, ep_r = rollout_episode(params, key, beta, env, acfg, mode="dagger")
+        return ep_r
+
+    @jax.jit
+    def batched_episodes(params, key):
+        keys = jax.random.split(key, BATCH_ENVS)
+        _, ep_r = jax.vmap(
+            lambda kk: rollout_episode(params, kk, beta, env, acfg,
+                                       mode="dagger")
+        )(keys)
+        return jnp.mean(ep_r)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    key = jax.random.key(1)
+    t0 = time.perf_counter()
+    one_episode(params, key).block_until_ready()
+    log(f"single-env compile+first run: {time.perf_counter() - t0:.1f}s")
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        one_episode(params, jax.random.key(2 + i)).block_until_ready()
+    single = reps * T / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    batched_episodes(params, key).block_until_ready()
+    log(f"batched compile+first run: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(reps):
+        batched_episodes(params, jax.random.key(20 + i)).block_until_ready()
+    batched = reps * T * BATCH_ENVS / (time.perf_counter() - t0)
+    return single, batched
+
+
+def main() -> None:
+    ref_sps = bench_reference_baseline()
+    log(f"reference-equivalent baseline (torch/numpy host loop): "
+        f"{ref_sps:.1f} steps/s")
+
+    single, batched = bench_tpu_rollout()
+    log(f"fused TPU rollout: single-env {single:.0f} steps/s, "
+        f"{BATCH_ENVS}-env {batched:.0f} steps/s "
+        f"({batched / ref_sps:.1f}x baseline)")
+    # edges/s through the K-hop aggregation at the canonical density
+    # (~N*6.7 radius edges, K taps) for the batched rollout
+    log(f"approx aggregated edges/s (batched): "
+        f"{batched * N_AGENTS * 6.7 * K:.3e}")
+
+    print(json.dumps({
+        "metric": "rollout_steps_per_s",
+        "value": round(batched, 1),
+        "unit": "env steps/s",
+        "vs_baseline": round(batched / ref_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
