@@ -161,6 +161,30 @@ def rollout_episode(
     return jnp.sum(out)
 
 
+def rollout_trajectory(params, key: jax.Array, env: FlockingEnv, acfg: ActorConfig):
+    """Greedy episode that records raw agent states ``(T, N, 4)`` + rewards.
+
+    The telemetry/visualization path — the on-device replacement for the
+    reference's ``env.render()`` eval loop (reference test_model.py:34-46):
+    dump the trajectory once instead of rendering every step.
+    """
+    reset_key, _ = jax.random.split(key)
+    env_state, obs = env.reset(reset_key)
+    gs = initial_graph_state(obs.values, obs.network, acfg.k)
+
+    def body(carry, _):
+        env_state, gs = carry
+        act = actor_forward(params, acfg, aggregate(gs.delay_gso, gs.delay_state), None)
+        env_state, obs, r, _done = env.step(env_state, act)
+        gs = update_graph_state(gs, obs.values, obs.network)
+        return (env_state, gs), (env_state.x, r)
+
+    _, (xs, rs) = jax.lax.scan(
+        body, (env_state, gs), None, length=env.params.episode_steps
+    )
+    return xs, rs
+
+
 def _loss_fn(params, acfg: ActorConfig, batch):
     pred = actor_forward(params, acfg, batch["agg"], None)   # (B, N, n_a)
     return jnp.mean((pred - batch["act"]) ** 2)              # F.mse_loss parity

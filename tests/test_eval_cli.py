@@ -1,0 +1,150 @@
+"""Tests for evaluate.py (test_model / test_model_transfer parity) and the
+cfg/make_config.py grid generator."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ENV = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root",
+       "PYTHONPATH": "/root/repo"}
+
+EVAL_CFG = """
+[DEFAULT]
+alg = dagger
+env = FlockingRelative-v0
+seed = 7
+debug = False
+header = reward
+dt = 0.01
+n_test_episodes = 2
+k = {k}
+hidden_size = 32
+v_max = 3.0
+comm_radius = 1.0
+n_agents = 20
+n_actions = 2
+n_states = 6
+episode_steps = 20
+
+[evalrun]
+seed = 8
+"""
+
+
+def run(args, timeout=600):
+    out = subprocess.run(
+        [sys.executable, *args], capture_output=True, text=True,
+        cwd="/root/repo", env=ENV, timeout=timeout,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_evaluate_reference_checkpoint(tmp_path, reference_path):
+    """The shipped torch checkpoint evaluates directly (auto-detected)."""
+    cfg = tmp_path / "eval.cfg"
+    cfg.write_text(EVAL_CFG.format(k=3))
+    ckpt = f"{reference_path}/models/actor_FlockingRelative-v0_dagger_k3"
+    stdout = run(["evaluate.py", str(cfg), "--actor-path", ckpt,
+                  "--per-episode"])
+    lines = [l for l in stdout.strip().splitlines() if l]
+    assert lines[0] == "reward"
+    # two per-episode rewards + the CSV row
+    per_ep = [float(l) for l in lines[1:-1]]
+    assert len(per_ep) == 2
+    name, mean, std = [p.strip() for p in lines[-1].split(",")]
+    assert name == "evalrun"
+    assert np.isclose(float(mean), np.mean(per_ep), rtol=1e-5)
+
+
+def test_evaluate_transfer_mode_and_npz(tmp_path):
+    """--actor-base picks <base><k> per section; .npz checkpoints load."""
+    import jax
+    from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
+    from multiagent_gnn_policies_tpu.utils import checkpoint
+
+    base = tmp_path / "actor_transfer"
+    for k in (1, 2):
+        acfg = ActorConfig(n_s=6, n_a=2, hidden=(32, 32), k=k, ind_agg=0)
+        params = init_actor(jax.random.key(k), acfg)
+        checkpoint.save(f"{base}{k}.npz", params)
+
+    cfg = tmp_path / "transfer.cfg"
+    cfg.write_text(
+        EVAL_CFG.format(k=1).replace(
+            "[evalrun]\nseed = 8",
+            "[1]\nk = 1\n\n[2]\nk = 2",
+        ).replace("header = reward", "header = k, reward")
+    )
+    stdout = run(["evaluate.py", str(cfg), "--actor-base", f"{base}",
+                  "--k", "1"],)
+    # transfer mode overrides --k per section; both sections must print
+    rows = [l for l in stdout.strip().splitlines() if "," in l and l != "k, reward"]
+    assert len(rows) == 2
+
+
+def test_evaluate_mismatched_k_fails(tmp_path, reference_path):
+    cfg = tmp_path / "eval.cfg"
+    cfg.write_text(EVAL_CFG.format(k=2))  # checkpoint is K=3
+    ckpt = f"{reference_path}/models/actor_FlockingRelative-v0_dagger_k3"
+    out = subprocess.run(
+        [sys.executable, "evaluate.py", str(cfg), "--actor-path", ckpt],
+        capture_output=True, text=True, cwd="/root/repo", env=ENV, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "shape" in out.stderr
+
+
+def test_save_trajectory(tmp_path, reference_path):
+    cfg = tmp_path / "eval.cfg"
+    cfg.write_text(EVAL_CFG.format(k=3))
+    ckpt = f"{reference_path}/models/actor_FlockingRelative-v0_dagger_k3"
+    traj = tmp_path / "traj.npz"
+    run(["evaluate.py", str(cfg), "--actor-path", ckpt,
+         "--save-trajectory", str(traj)])
+    with np.load(traj) as z:
+        assert z["x"].shape == (20, 20, 4)       # (T, N, [px py vx vy])
+        assert z["reward"].shape == (20,)
+        assert np.isfinite(z["x"]).all()
+
+
+def test_make_config_grids(tmp_path):
+    sys.path.insert(0, "/root/repo/cfg")
+    try:
+        import make_config
+    finally:
+        sys.path.pop(0)
+    from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig, load_ini
+
+    out = make_config.generate("vel", baseline=False,
+                               out=str(tmp_path / "vel.cfg"))
+    cp = load_ini(out)
+    assert len(cp.sections()) == 4 * 5           # k x v_max
+    seen = set()
+    for s in cp.sections():
+        cfg = ExperimentConfig.from_section(cp[s])
+        seen.add((cfg.k, cfg.v_max))
+        assert cfg.alg == "dagger"
+    assert len(seen) == 20
+
+    out = make_config.generate("n", baseline=True,
+                               out=str(tmp_path / "nb.cfg"))
+    cp = load_ini(out)
+    assert len(cp.sections()) == 2 * 8           # centralized x n_agents
+    assert all(ExperimentConfig.from_section(cp[s]).alg == "baseline"
+               for s in cp.sections())
+
+
+def test_repo_cfg_suite_covers_reference():
+    """Every cfg file name shipped by the reference exists here too."""
+    import glob
+    import os
+
+    ref = {os.path.basename(p) for p in glob.glob("/root/reference/cfg/*.cfg")}
+    if not ref:
+        pytest.skip("reference cfgs unavailable")
+    ours = {os.path.basename(p) for p in glob.glob("/root/repo/cfg/*.cfg")}
+    missing = ref - ours
+    assert not missing, f"cfg files missing vs reference: {sorted(missing)}"

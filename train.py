@@ -29,6 +29,9 @@ import numpy as np
 def run_experiment(section, metrics_path=None):
     # Import late so `train.py --help` stays instant.
     import jax
+    from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
     from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
     from multiagent_gnn_policies_tpu.utils.metrics import MetricsLogger
     from multiagent_gnn_policies_tpu.algos.imitation import train_cloning, train_dagger
