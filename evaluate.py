@@ -54,6 +54,57 @@ def load_actor_params(path: str):
     return actor_params_from_state_dict(sd)
 
 
+def evaluate_blocked(section, actor_path, k=None, n_agents=None,
+                     n_episodes=None, mesh_devices=0, expert=False,
+                     per_episode=False):
+    """Large-N transfer evaluation on the blocked path (ops/blocked.py):
+    zero-shot evaluation of a small-N checkpoint on swarms of 10k+ agents,
+    optionally with the N^2 sweeps sharded over an ``agents`` mesh —
+    the scaled-up version of the reference's transfer experiments."""
+    import jax
+    import numpy as np
+    from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+    from jax.sharding import Mesh
+    from multiagent_gnn_policies_tpu.envs.flocking import ENV_REGISTRY, FlockingParams
+    from multiagent_gnn_policies_tpu.models.actor import ActorConfig
+    from multiagent_gnn_policies_tpu.parallel.large_n import rollout_large
+    from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_section(section)
+    p = FlockingParams(
+        n_agents=n_agents or cfg.n_agents, comm_radius=cfg.comm_radius,
+        dt=cfg.dt, v_max=cfg.v_max, episode_steps=cfg.episode_steps,
+    )
+    p = ENV_REGISTRY[cfg.env](p)
+    if expert:
+        params, acfg = None, None
+    else:
+        params = load_actor_params(actor_path)
+        kk = k or cfg.k
+        acfg = ActorConfig(n_s=cfg.n_states, n_a=cfg.n_actions,
+                           hidden=cfg.hidden, k=kk, ind_agg=0)
+    mesh = None
+    if mesh_devices:
+        devs = jax.devices()
+        if len(devs) < mesh_devices:
+            raise SystemExit(f"need {mesh_devices} devices, have {len(devs)}")
+        mesh = Mesh(np.array(devs[:mesh_devices]), axis_names=("agents",))
+
+    rewards = []
+    for ep in range(n_episodes or cfg.n_test_episodes):
+        key = jax.random.fold_in(jax.random.key(cfg.seed), ep)
+        r, _ = rollout_large(params, acfg, key, p, mesh=mesh,
+                             expert_mode=expert,
+                             centralized_expert=cfg.centralized)
+        total = float(jax.numpy.sum(r))
+        if per_episode:
+            print(total)
+        rewards.append(total)
+    return {"mean": float(np.mean(rewards)), "std": float(np.std(rewards))}
+
+
 def evaluate_section(section, actor_path: str, k=None, per_episode=False,
                      traj_path=None):
     import jax
@@ -107,9 +158,19 @@ def main(argv=None):
                     help="print every episode reward")
     ap.add_argument("--save-trajectory", default=None,
                     help="dump one greedy episode's agent states to this .npz")
+    ap.add_argument("--n-agents", type=int, default=None,
+                    help="swarm-size override (zero-shot transfer at scale; "
+                         "uses the blocked large-N path)")
+    ap.add_argument("--episodes", type=int, default=None,
+                    help="override n_test_episodes")
+    ap.add_argument("--mesh", type=int, default=0, metavar="D",
+                    help="shard the large-N path over D devices (agents axis)")
+    ap.add_argument("--expert", action="store_true",
+                    help="evaluate the analytic expert instead of a checkpoint")
     args = ap.parse_args(argv)
-    if bool(args.actor_path) == bool(args.actor_base):
-        ap.error("exactly one of --actor-path / --actor-base is required")
+    if not args.expert and bool(args.actor_path) == bool(args.actor_base):
+        ap.error("exactly one of --actor-path / --actor-base is required "
+                 "(or pass --expert)")
 
     from multiagent_gnn_policies_tpu.utils.config import load_ini
 
@@ -128,9 +189,16 @@ def main(argv=None):
                 path += ".npz"
         else:
             k, path = args.k, args.actor_path
-        stats = evaluate_section(section, path, k=k,
-                                 per_episode=args.per_episode,
-                                 traj_path=args.save_trajectory)
+        if args.n_agents or args.mesh or args.expert:
+            stats = evaluate_blocked(
+                section, path, k=k, n_agents=args.n_agents,
+                n_episodes=args.episodes, mesh_devices=args.mesh,
+                expert=args.expert, per_episode=args.per_episode,
+            )
+        else:
+            stats = evaluate_section(section, path, k=k,
+                                     per_episode=args.per_episode,
+                                     traj_path=args.save_trajectory)
         print(f"{name}, {stats['mean']}, {stats['std']}")
 
 

@@ -1,0 +1,225 @@
+"""Large-N rollouts: single chip or agent-sharded over a device mesh.
+
+The reference's transfer experiments (test_model_transfer.py) evaluate a
+policy trained at small N on bigger swarms, but its dense (K, N, N) state
+caps N at a few hundred. Here the blocked pass (ops/blocked.py) plus an
+``agents``-axis mesh take the same evaluation to N = 10,000+:
+
+* every O(N^2) sweep (observation features, expert controller, adjacency
+  transpose-applies) is row-partitioned: each device sweeps only its own
+  agent slice;
+* the O(N) state (positions/velocities (N, 4), feature history (K, N, F))
+  is replicated — at N=10k that is < 1 MB, so completing the partial
+  column sums with a ``psum`` and regathering per-row results with an
+  ``all_gather`` costs ~1 MB/step over ICI, negligible against the O(N^2)
+  compute each device saves;
+* cheap O(N) math (dynamics integration, reward, actor MLP) is computed
+  redundantly on every device instead of paying a collective to shard it.
+
+This is the SURVEY §5 "CP/ring analogue" design point resolved for this
+model family: features are tiny (F=6), so full-gather beats halo-exchange
+bookkeeping; the communication-avoiding structure lives in the row
+partitioning of the N^2 sweeps.
+
+The rollout semantics (delayed stack, expert, reward, episode boundary)
+match the dense path exactly — tests/test_blocked.py asserts equality —
+so a checkpoint trained with the dense N=100 pipeline evaluates unchanged
+at N=10k (zero-shot transfer, CoRL 2020 §results / reference README.md:22-28).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.models.actor import ActorConfig, actor_forward
+from multiagent_gnn_policies_tpu.ops.blocked import (
+    DelayCarry,
+    blocked_frame,
+    delay_carry_init,
+    delay_carry_update,
+    delayed_ystack,
+)
+
+
+def pick_block(rows: int, preferred: int = 128) -> int:
+    """Largest divisor of ``rows`` that is <= ``preferred``."""
+    for b in range(min(preferred, rows), 0, -1):
+        if rows % b == 0:
+            return b
+    return 1
+
+
+def _dynamics(x: jax.Array, action: jax.Array, p: FlockingParams,
+              key: jax.Array) -> jax.Array:
+    """Double-integrator step on the full replicated state
+    (envs/flocking.py:step semantics, without the dense observe)."""
+    u = jnp.clip(action, -p.max_accel, p.max_accel) * p.gain
+    if p.n_leaders > 0:
+        is_leader = (jnp.arange(p.n_agents) < p.n_leaders)[:, None]
+        u = jnp.where(is_leader, 0.0, u)
+    pos = x[:, 0:2] + x[:, 2:4] * p.dt + 0.5 * u * p.dt * p.dt
+    vel = x[:, 2:4] + u * p.dt
+    if p.drag > 0.0:
+        vel = vel * (1.0 - p.drag * p.dt)
+    if p.dynamics_noise > 0.0:
+        vel = vel + p.dynamics_noise * jax.random.normal(key, vel.shape, vel.dtype)
+    return jnp.concatenate([pos, vel], axis=-1)
+
+
+def _reward(x: jax.Array) -> jax.Array:
+    v = x[:, 2:4]
+    return -jnp.sum(jnp.var(v, axis=0))
+
+
+class LargeNConfig(NamedTuple):
+    """Static setup for a large-N rollout."""
+
+    params: FlockingParams
+    block: int
+    rows: int            # rows swept per device
+    axis: Optional[str]  # mesh axis name, None = single device
+
+
+def _frame(cfg: LargeNConfig, x, centralized):
+    """Frame quantities for the full swarm (regathered if sharded)."""
+    if cfg.axis is None:
+        return blocked_frame(x, cfg.params, centralized, cfg.block)
+    d = jax.lax.axis_index(cfg.axis)
+    fq = blocked_frame(
+        x, cfg.params, centralized, cfg.block,
+        row_range=(d * cfg.rows, cfg.rows),
+    )
+    gather = lambda a: jax.lax.all_gather(a, cfg.axis, tiled=True)
+    return fq._replace(
+        values=gather(fq.values),
+        degree=gather(fq.degree),
+        expert=gather(fq.expert),
+        min_r2=jax.lax.pmin(fq.min_r2, cfg.axis),
+    )
+
+
+def _ystack(cfg: LargeNConfig, carry: DelayCarry, pos_now):
+    if cfg.axis is None:
+        return delayed_ystack(carry, pos_now, cfg.params, cfg.block)
+    d = jax.lax.axis_index(cfg.axis)
+    return delayed_ystack(
+        carry, pos_now, cfg.params, cfg.block,
+        row_range=(d * cfg.rows, cfg.rows), axis_name=cfg.axis,
+    )
+
+
+def _reset(cfg: LargeNConfig, key: jax.Array):
+    """Rejection-sampled initial state (envs/flocking.py:reset semantics),
+    acceptance computed with blocked sweeps."""
+    from multiagent_gnn_policies_tpu.envs.flocking import _init_candidate
+
+    p = cfg.params
+
+    def ok(x):
+        fq = _frame(cfg, x, centralized=False)
+        return (
+            (fq.min_r2 >= p.min_separation**2)
+            & (jnp.min(fq.degree) >= p.min_degree)
+        ), fq
+
+    def cond(state):
+        i, _, accepted, _, _ = state
+        return (~accepted) & (i < p.max_resets)
+
+    def body(state):
+        i, key, _, _, _ = state
+        key, sub = jax.random.split(key)
+        x = _init_candidate(sub, p)
+        accepted, fq = ok(x)
+        return i + 1, key, accepted, x, fq
+
+    key, sub = jax.random.split(key)
+    x0 = _init_candidate(sub, p)
+    acc0, fq0 = ok(x0)
+    _, key, _, x, fq = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), key, acc0, x0, fq0)
+    )
+    return x, fq
+
+
+def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
+                  key: jax.Array, T: int, expert_mode: bool,
+                  centralized: bool):
+    """The fused rollout: reset + lax.scan of T steps. Runs identically
+    single-device or inside shard_map (collectives gated on cfg.axis)."""
+    p = cfg.params
+    reset_key, noise_key = jax.random.split(key)
+    x, fq = _reset(cfg, reset_key)
+    carry = delay_carry_init(fq.values, p.n_agents, acfg.k if acfg else 1)
+
+    def body(state, step_key):
+        x, carry, fq = state
+        if expert_mode:
+            action = fq.expert
+        else:
+            y = _ystack(cfg, carry, x[:, :2])
+            action = actor_forward(params, acfg, y, None)
+        pos_prev = x[:, :2]
+        x2 = _dynamics(x, action, p, step_key)
+        fq2 = _frame(cfg, x2, centralized)
+        carry2 = delay_carry_update(carry, fq2.values, pos_prev)
+        return (x2, carry2, fq2), _reward(x2)
+
+    (x, _, _), rewards = jax.lax.scan(
+        body, (x, carry, fq), jax.random.split(noise_key, T)
+    )
+    return rewards, x
+
+
+def rollout_large(
+    params,
+    acfg: Optional[ActorConfig],
+    key: jax.Array,
+    p: FlockingParams,
+    mesh: Optional[Mesh] = None,
+    axis: str = "agents",
+    block: Optional[int] = None,
+    expert_mode: bool = False,
+    centralized_expert: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """One greedy episode at scale. Returns ``(rewards (T,), final_x)``.
+
+    Args:
+      params/acfg: actor (``ind_agg`` must be 0 — all imitation policies);
+        ignored when ``expert_mode``.
+      mesh: optional mesh with an ``axis`` dimension to shard the N^2
+        sweeps; ``None`` = single device.
+      expert_mode: roll the analytic controller instead of the policy
+        (the large-N expert baseline).
+    """
+    if acfg is not None and acfg.ind_agg != 0:
+        raise ValueError("large-N path requires ind_agg == 0 actors")
+    n = p.n_agents
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+    if n % n_dev:
+        raise ValueError(f"n_agents={n} not divisible by mesh axis {n_dev}")
+    rows = n // n_dev
+    blk = block or pick_block(rows)
+    cfg = LargeNConfig(
+        params=p, block=blk, rows=rows, axis=axis if mesh is not None else None
+    )
+    run = partial(
+        _rollout_body, cfg, acfg,
+        T=p.episode_steps, expert_mode=expert_mode,
+        centralized=centralized_expert,
+    )
+    if mesh is None:
+        return jax.jit(run)(params, key)
+    sharded = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P()), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(params, key)

@@ -55,10 +55,15 @@ def run_experiment(section, metrics_path=None):
     if cfg.fname:
         save_path = os.path.join("models", f"actor_{cfg.env}_{cfg.fname}")
 
+    import contextlib
+
+    precision_ctx = (
+        jax.default_matmul_precision("highest")
+        if cfg.matmul_precision == "highest"
+        else contextlib.nullcontext()   # no-op; keeps the compile-cache key
+    )
     with MetricsLogger(metrics_path, echo=cfg.debug) as logger:
-        with jax.default_matmul_precision(
-            "highest" if cfg.matmul_precision == "highest" else "default"
-        ):
+        with precision_ctx:
             stats = trainers[cfg.alg](cfg, logger=logger, save_path=save_path)
     return cfg, stats
 
