@@ -193,6 +193,32 @@ def bench_tpu_rollout():
     return single, batched
 
 
+def bench_large_n() -> None:
+    """Large-N transfer rollout (stderr detail): the reference's dense path
+    caps out at N~250; this is the blocked path at N=10k on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+    from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
+    from multiagent_gnn_policies_tpu.parallel.large_n import rollout_large
+
+    n, t_steps = 10000, 200
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=HIDDEN, k=K, ind_agg=0)
+    params = init_actor(jax.random.key(0), acfg)
+    p = FlockingParams(n_agents=n, episode_steps=t_steps, max_resets=2)
+    t0 = time.perf_counter()
+    r, _ = rollout_large(params, acfg, jax.random.key(3), p)
+    r.block_until_ready()
+    log(f"large-N compile+first episode (N={n}): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    r, _ = rollout_large(params, acfg, jax.random.key(4), p)
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+    log(f"large-N rollout N={n}: {t_steps / dt:.0f} steps/s "
+        f"(~{t_steps / dt * n * 6.7 * K:.2e} aggregated edges/s)")
+
+
 def main() -> None:
     ref_sps = bench_reference_baseline()
     log(f"reference-equivalent baseline (torch/numpy host loop): "
@@ -206,6 +232,10 @@ def main() -> None:
     # (~N*6.7 radius edges, K taps) for the batched rollout
     log(f"approx aggregated edges/s (batched): "
         f"{batched * N_AGENTS * 6.7 * K:.3e}")
+    try:
+        bench_large_n()
+    except Exception as e:  # stderr detail only — never break the JSON line
+        log(f"large-N bench skipped: {e!r}")
 
     print(json.dumps({
         "metric": "rollout_steps_per_s",

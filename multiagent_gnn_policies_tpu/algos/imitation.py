@@ -218,6 +218,11 @@ class ImitationLearner:
         }
         self.buffer = replay_init(cfg.buffer_size, example)
 
+        # mutable training-loop state (checkpointable, see training_state())
+        self._rnd = 0
+        self._beta = 1.0
+        self._best = {"mean": -np.inf, "std": 0.0, "params": None}
+
         self._round = jax.jit(partial(self._round_impl, self))
         self._eval = jax.jit(partial(self._eval_impl, self))
 
@@ -311,45 +316,130 @@ class ImitationLearner:
         rewards = np.asarray(self._eval(self.params, self._next_key()))
         return float(rewards.mean()), float(rewards.std())
 
-    def train(self, save_path: Optional[str] = None) -> dict:
+    # --- full-training-state checkpoint / resume (SURVEY §5: the reference
+    #     loses a run on crash — gnn_dagger.py:239-240 saves only at the end) ---
+
+    def training_state(self) -> dict:
+        """Complete restart state as one pytree: params, optimizer, replay
+        buffer, PRNG, loop counters, and the best-eval snapshot."""
+        best_p = self._best["params"]
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "buffer": self.buffer,
+            "key": jax.random.key_data(self._key),
+            "round": np.int64(self._rnd),
+            "beta": np.float64(self._beta),
+            "best_mean": np.float64(self._best["mean"]),
+            "best_std": np.float64(self._best["std"]),
+            "has_best": np.bool_(best_p is not None),
+            "best_params": best_p if best_p is not None else self.params,
+        }
+
+    def save_training_state(self, path: str) -> None:
+        from multiagent_gnn_policies_tpu.utils import checkpoint
+
+        checkpoint.save(path, self.training_state())
+
+    def load_training_state(self, path: str) -> None:
+        from multiagent_gnn_policies_tpu.utils import checkpoint
+
+        st = checkpoint.load(path, self.training_state())
+        self.params = jax.tree.map(jnp.asarray, st["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+        self.buffer = jax.tree.map(jnp.asarray, st["buffer"])
+        self._key = jax.random.wrap_key_data(jnp.asarray(st["key"]))
+        self._rnd = int(st["round"])
+        self._beta = float(st["beta"])
+        self._best = {
+            "mean": float(st["best_mean"]),
+            "std": float(st["best_std"]),
+            "params": (
+                jax.tree.map(np.asarray, st["best_params"])
+                if bool(st["has_best"]) else None
+            ),
+        }
+
+    def train(
+        self,
+        save_path: Optional[str] = None,
+        state_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        stop_after: Optional[int] = None,
+    ) -> dict:
+        """Run (or resume) the training loop.
+
+        Args:
+          save_path: final/best actor export (npz + torch state_dict).
+          state_path: full-training-state checkpoint file; loaded at entry
+            when it exists (resume), written every ``checkpoint_every``
+            rounds and at exit when set.
+          checkpoint_every: periodic state-save interval in rounds
+            (0 = only at exit).
+          stop_after: preemption-safe exit after this many total rounds —
+            saves state (when ``state_path``) and returns with
+            ``interrupted=True``; a later call resumes bit-exact.
+        """
+        import os
+        import time
+
         cfg = self.cfg
-        beta = 1.0
-        best = {"mean": -np.inf, "std": 0.0, "params": None}
+        if state_path and os.path.exists(state_path):
+            self.load_training_state(state_path)
+            self.logger.log("resume", round=self._rnd, beta=self._beta)
         episodes_per_round = cfg.n_rollout_envs
         n_rounds = max(1, cfg.n_train_episodes // episodes_per_round)
-        total_steps = 0
+        steps_per_round = cfg.env.episode_steps * episodes_per_round
 
-        for rnd in range(n_rounds):
+        while self._rnd < n_rounds:
+            if stop_after is not None and self._rnd >= stop_after:
+                if state_path:
+                    self.save_training_state(state_path)
+                return {"mean": self._best["mean"], "std": self._best["std"],
+                        "interrupted": True}
+            rnd = self._rnd
             episode = rnd * episodes_per_round
             if cfg.mode == "dagger":
-                beta = max(beta * cfg.beta_coeff, cfg.beta_floor)
+                self._beta = max(self._beta * cfg.beta_coeff, cfg.beta_floor)
+            t0 = time.perf_counter()
             self.params, self.opt_state, self.buffer, ep_reward, loss_sum = (
                 self._round(
                     self.params, self.opt_state, self.buffer,
-                    self._next_key(), jnp.asarray(beta, jnp.float32),
+                    self._next_key(), jnp.asarray(self._beta, jnp.float32),
                 )
             )
-            total_steps += cfg.env.episode_steps * episodes_per_round
+            self._rnd = rnd + 1
 
             if episode % cfg.test_interval < episodes_per_round:
+                jax.block_until_ready(self.params)
+                dt_round = time.perf_counter() - t0
                 mean, std = self.evaluate()
                 self.logger.log(
-                    "eval", episode=episode, steps=total_steps,
-                    reward_mean=mean, reward_std=std, beta=beta,
+                    "eval", episode=episode, steps=self._rnd * steps_per_round,
+                    reward_mean=mean, reward_std=std, beta=self._beta,
                     policy_loss_sum=float(loss_sum),
                     rollout_reward=float(ep_reward),
+                    round_s=dt_round,
+                    env_steps_per_s=steps_per_round / dt_round,
                 )
-                if mean > best["mean"]:
-                    best = {"mean": mean, "std": std,
-                            "params": jax.tree.map(np.asarray, self.params)}
+                if mean > self._best["mean"]:
+                    self._best = {"mean": mean, "std": std,
+                                  "params": jax.tree.map(np.asarray, self.params)}
+            if (
+                state_path and checkpoint_every
+                and self._rnd % checkpoint_every == 0
+            ):
+                self.save_training_state(state_path)
 
         final_mean, final_std = self.evaluate()
         self.logger.log("final_eval", reward_mean=final_mean, reward_std=final_std)
+        if state_path:
+            self.save_training_state(state_path)
 
-        if cfg.mode == "cloning" and best["params"] is not None:
+        if cfg.mode == "cloning" and self._best["params"] is not None:
             # cloning reports (and keeps) the best-seen eval (gnn_cloning.py:195-198)
-            stats = {"mean": best["mean"], "std": best["std"]}
-            save_params = best["params"]
+            stats = {"mean": self._best["mean"], "std": self._best["std"]}
+            save_params = self._best["params"]
         else:
             # dagger reports the final eval (gnn_dagger.py:235-237)
             stats = {"mean": final_mean, "std": final_std}
@@ -363,15 +453,17 @@ class ImitationLearner:
         return stats
 
 
-def train_dagger(cfg: ExperimentConfig, logger=None, save_path=None) -> dict:
+def train_dagger(cfg: ExperimentConfig, logger=None, save_path=None,
+                 state_path=None, checkpoint_every=0) -> dict:
     learner = ImitationLearner(
         ImitationConfig.from_experiment(cfg, mode="dagger"), logger
     )
-    return learner.train(save_path)
+    return learner.train(save_path, state_path, checkpoint_every)
 
 
-def train_cloning(cfg: ExperimentConfig, logger=None, save_path=None) -> dict:
+def train_cloning(cfg: ExperimentConfig, logger=None, save_path=None,
+                  state_path=None, checkpoint_every=0) -> dict:
     learner = ImitationLearner(
         ImitationConfig.from_experiment(cfg, mode="cloning"), logger
     )
-    return learner.train(save_path)
+    return learner.train(save_path, state_path, checkpoint_every)

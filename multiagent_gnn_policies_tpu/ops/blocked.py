@@ -153,6 +153,8 @@ def blocked_apply_adjT(
     p: FlockingParams,
     block: int = 128,
     row_range: Optional[Tuple[jax.Array, int]] = None,
+    deg: Optional[jax.Array] = None,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """``out[j] = sum_i adj[i,j] / deg_i · cols[i]`` without storing adj.
 
@@ -166,12 +168,34 @@ def blocked_apply_adjT(
       row_range: sweep only rows ``[start, start+length)`` — the returned
         (N, C) is then a PARTIAL sum over those source rows; ``psum``
         across devices to complete.
+      deg: optional precomputed (N,) radius degrees of the SOURCE rows'
+        graph (the rollout carries them); recomputed here when ``None``.
+      use_pallas: route the sweep through the fused VMEM kernel
+        (ops/pallas_kernels.py) — requires ``deg``.
 
     Returns:
       (N, C) aggregated columns.
     """
     n = pos.shape[0]
     start, length = (jnp.zeros((), jnp.int32), n) if row_range is None else row_range
+    if use_pallas:
+        if deg is None:
+            raise ValueError("use_pallas requires precomputed degrees")
+        from multiagent_gnn_policies_tpu.ops.pallas_kernels import (
+            radius_adjT_matmul,
+        )
+
+        pos_rows = jax.lax.dynamic_slice(pos, (start, 0), (length, 2))
+        deg_rows = jax.lax.dynamic_slice(
+            jnp.maximum(deg, 1.0), (start,), (length,)
+        )
+        cols_rows = jax.lax.dynamic_slice(
+            cols, (start, 0), (length, cols.shape[1])
+        )
+        return radius_adjT_matmul(
+            pos_rows, pos, cols_rows / deg_rows[:, None],
+            p.comm_radius, start,
+        )
     if length % block:
         raise ValueError(f"row count {length} not divisible by block {block}")
     x = jnp.concatenate([pos, jnp.zeros_like(pos)], axis=-1)  # (N, 4) shim
@@ -181,8 +205,11 @@ def blocked_apply_adjT(
         xi = jax.lax.dynamic_slice(x, (off, 0), (block, 4))
         rows = off + jnp.arange(block)
         _, _, _, adj, _ = _pair_blocks(xi, x, p, rows)
-        deg = jnp.maximum(jnp.sum(adj, axis=1), 1.0)
-        aod = adj / deg[:, None]                       # (B, N)
+        if deg is None:
+            d = jnp.sum(adj, axis=1)
+        else:
+            d = jax.lax.dynamic_slice(deg, (off,), (block,))
+        aod = adj / jnp.maximum(d, 1.0)[:, None]       # (B, N)
         ci = jax.lax.dynamic_slice(cols, (off, 0), (block, cols.shape[1]))
         return acc + aod.T @ ci, None
 
@@ -200,10 +227,13 @@ class DelayCarry(NamedTuple):
                boundary semantics).
       pos_hist: (max(K-2, 0), N, 2) positions at ``[t-1, ..., t-K+2]``
                (adjacency sources for the outer applications).
+      deg_hist: (max(K-2, 0), N) radius degrees of those historical graphs
+               (normalizers; avoids recomputing full-row reductions).
     """
 
     history: jax.Array
     pos_hist: jax.Array
+    deg_hist: jax.Array
 
 
 def delay_carry_init(values: jax.Array, n: int, k: int) -> DelayCarry:
@@ -215,7 +245,8 @@ def delay_carry_init(values: jax.Array, n: int, k: int) -> DelayCarry:
         [values[None], jnp.zeros((k - 1, n, f), values.dtype)], axis=0
     ) if k > 1 else values[None]
     pos_hist = jnp.zeros((max(k - 2, 0), n, 2), values.dtype)
-    return DelayCarry(history=history, pos_hist=pos_hist)
+    deg_hist = jnp.ones((max(k - 2, 0), n), values.dtype)
+    return DelayCarry(history=history, pos_hist=pos_hist, deg_hist=deg_hist)
 
 
 def delayed_ystack(
@@ -225,6 +256,8 @@ def delayed_ystack(
     block: int = 128,
     row_range: Optional[Tuple[jax.Array, int]] = None,
     axis_name: Optional[str] = None,
+    deg_now: Optional[jax.Array] = None,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """The aggregated delayed stack ``y_k = G_k(t)^T x_{t-k}`` (K, N, F).
 
@@ -250,8 +283,12 @@ def delayed_ystack(
     v = carry.history[1:]                              # slots 1..K-1
     for s in range(k - 1):
         pos_s = pos_now if s == 0 else carry.pos_hist[s - 1]
+        deg_s = deg_now if s == 0 else carry.deg_hist[s - 1]
         cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
-        out = blocked_apply_adjT(pos_s, cols, p, block, row_range)
+        out = blocked_apply_adjT(
+            pos_s, cols, p, block, row_range,
+            deg=deg_s, use_pallas=use_pallas,
+        )
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
         v = v.at[s:].set(jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2)))
@@ -260,10 +297,13 @@ def delayed_ystack(
 
 
 def delay_carry_update(
-    carry: DelayCarry, new_values: jax.Array, pos_prev: jax.Array
+    carry: DelayCarry,
+    new_values: jax.Array,
+    pos_prev: jax.Array,
+    deg_prev: Optional[jax.Array] = None,
 ) -> DelayCarry:
     """Shift-and-insert after an env step: ``x_{t+1}`` enters the feature
-    history; the pre-step positions enter the position history."""
+    history; the pre-step positions/degrees enter the graph history."""
     k = carry.history.shape[0]
     history = (
         jnp.concatenate([new_values[None], carry.history[: k - 1]], axis=0)
@@ -274,6 +314,14 @@ def delay_carry_update(
         pos_hist = jnp.concatenate(
             [pos_prev[None], carry.pos_hist[:-1]], axis=0
         )
+        if deg_prev is None:
+            raise ValueError(
+                "delay_carry_update needs deg_prev (the pre-step frame's "
+                "degrees) when K > 2 — ones would silently mis-normalize"
+            )
+        deg_hist = jnp.concatenate(
+            [deg_prev[None], carry.deg_hist[:-1]], axis=0
+        )
     else:
-        pos_hist = carry.pos_hist
-    return DelayCarry(history=history, pos_hist=pos_hist)
+        pos_hist, deg_hist = carry.pos_hist, carry.deg_hist
+    return DelayCarry(history=history, pos_hist=pos_hist, deg_hist=deg_hist)

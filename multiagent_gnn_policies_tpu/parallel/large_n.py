@@ -85,17 +85,37 @@ class LargeNConfig(NamedTuple):
     block: int
     rows: int            # rows swept per device
     axis: Optional[str]  # mesh axis name, None = single device
+    use_pallas: bool = False
+
+
+def _row_range(cfg: LargeNConfig):
+    if cfg.axis is None:
+        return None
+    d = jax.lax.axis_index(cfg.axis)
+    return (d * cfg.rows, cfg.rows)
 
 
 def _frame(cfg: LargeNConfig, x, centralized):
     """Frame quantities for the full swarm (regathered if sharded)."""
+    from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
+
+    rr = _row_range(cfg)
+    if cfg.use_pallas:
+        from multiagent_gnn_policies_tpu.ops.pallas_kernels import frame_rowsums
+
+        start = jnp.zeros((), jnp.int32) if rr is None else rr[0]
+        rows = jax.lax.dynamic_slice(x, (start, 0), (cfg.rows, 4))
+        out = frame_rowsums(rows, x, cfg.params.comm_radius, start, centralized)
+        fq = FrameQuantities(
+            values=out[:, :6],
+            degree=out[:, 8],
+            expert=jnp.clip(out[:, 6:8], -10.0, 10.0),
+            min_r2=jnp.min(out[:, 9]),
+        )
+    else:
+        fq = blocked_frame(x, cfg.params, centralized, cfg.block, row_range=rr)
     if cfg.axis is None:
-        return blocked_frame(x, cfg.params, centralized, cfg.block)
-    d = jax.lax.axis_index(cfg.axis)
-    fq = blocked_frame(
-        x, cfg.params, centralized, cfg.block,
-        row_range=(d * cfg.rows, cfg.rows),
-    )
+        return fq
     gather = lambda a: jax.lax.all_gather(a, cfg.axis, tiled=True)
     return fq._replace(
         values=gather(fq.values),
@@ -105,13 +125,12 @@ def _frame(cfg: LargeNConfig, x, centralized):
     )
 
 
-def _ystack(cfg: LargeNConfig, carry: DelayCarry, pos_now):
-    if cfg.axis is None:
-        return delayed_ystack(carry, pos_now, cfg.params, cfg.block)
-    d = jax.lax.axis_index(cfg.axis)
+def _ystack(cfg: LargeNConfig, carry: DelayCarry, pos_now, deg_now):
     return delayed_ystack(
         carry, pos_now, cfg.params, cfg.block,
-        row_range=(d * cfg.rows, cfg.rows), axis_name=cfg.axis,
+        row_range=_row_range(cfg),
+        axis_name=cfg.axis,
+        deg_now=deg_now, use_pallas=cfg.use_pallas,
     )
 
 
@@ -164,12 +183,15 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
         if expert_mode:
             action = fq.expert
         else:
-            y = _ystack(cfg, carry, x[:, :2])
+            y = _ystack(cfg, carry, x[:, :2], fq.degree)
             action = actor_forward(params, acfg, y, None)
         pos_prev = x[:, :2]
         x2 = _dynamics(x, action, p, step_key)
         fq2 = _frame(cfg, x2, centralized)
-        carry2 = delay_carry_update(carry, fq2.values, pos_prev)
+        carry2 = delay_carry_update(
+            carry, fq2.values, pos_prev,
+            deg_prev=fq.degree if carry.deg_hist.shape[0] else None,
+        )
         return (x2, carry2, fq2), _reward(x2)
 
     (x, _, _), rewards = jax.lax.scan(
@@ -188,6 +210,7 @@ def rollout_large(
     block: Optional[int] = None,
     expert_mode: bool = False,
     centralized_expert: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One greedy episode at scale. Returns ``(rewards (T,), final_x)``.
 
@@ -198,6 +221,12 @@ def rollout_large(
         sweeps; ``None`` = single device.
       expert_mode: roll the analytic controller instead of the policy
         (the large-N expert baseline).
+      use_pallas: route the N^2 sweeps through the fused VMEM kernels
+        (ops/pallas_kernels.py). Default: only for swarms big enough that
+        the XLA path's (block, N) adjacency slabs stop fitting in VMEM
+        (measured on v5e: at N=10k XLA's fused sweeps are ~6x FASTER than
+        the Pallas grid — 458 vs 73 steps/s — so Pallas is reserved for
+        N >= 32768 where the slab would spill to HBM).
     """
     if acfg is not None and acfg.ind_agg != 0:
         raise ValueError("large-N path requires ind_agg == 0 actors")
@@ -207,8 +236,12 @@ def rollout_large(
         raise ValueError(f"n_agents={n} not divisible by mesh axis {n_dev}")
     rows = n // n_dev
     blk = block or pick_block(rows)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and rows >= 32768
     cfg = LargeNConfig(
-        params=p, block=blk, rows=rows, axis=axis if mesh is not None else None
+        params=p, block=blk, rows=rows,
+        axis=axis if mesh is not None else None,
+        use_pallas=use_pallas,
     )
     run = partial(
         _rollout_body, cfg, acfg,

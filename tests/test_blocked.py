@@ -90,10 +90,11 @@ def test_delayed_ystack_matches_dense_over_trajectory():
         # advance both paths with the same random walk
         key = jax.random.fold_in(key, t)
         pos_prev = x[:, :2]
+        deg_prev = jnp.sum(_adj(x), axis=1)
         x = x + 0.1 * jax.random.normal(key, x.shape)
         obs = observe(x, P)
         gs = update_graph_state(gs, obs.values, obs.network)
-        carry = delay_carry_update(carry, obs.values, pos_prev)
+        carry = delay_carry_update(carry, obs.values, pos_prev, deg_prev)
 
 
 def test_delayed_ystack_k1():

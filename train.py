@@ -26,7 +26,8 @@ import sys
 import numpy as np
 
 
-def run_experiment(section, metrics_path=None):
+def run_experiment(section, metrics_path=None, state_dir=None,
+                   checkpoint_every=0):
     # Import late so `train.py --help` stays instant.
     import jax
     from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
@@ -62,9 +63,21 @@ def run_experiment(section, metrics_path=None):
         if cfg.matmul_precision == "highest"
         else contextlib.nullcontext()   # no-op; keeps the compile-cache key
     )
+    extra = {}
+    if state_dir and cfg.alg in ("dagger", "cloning"):
+        # full-training-state checkpointing: crash-safe restart per section
+        os.makedirs(state_dir, exist_ok=True)
+        extra = {
+            "state_path": os.path.join(
+                state_dir, f"{section.name or 'DEFAULT'}_state.npz"
+            ),
+            "checkpoint_every": checkpoint_every,
+        }
     with MetricsLogger(metrics_path, echo=cfg.debug) as logger:
         with precision_ctx:
-            stats = trainers[cfg.alg](cfg, logger=logger, save_path=save_path)
+            stats = trainers[cfg.alg](
+                cfg, logger=logger, save_path=save_path, **extra
+            )
     return cfg, stats
 
 
@@ -74,6 +87,14 @@ def main(argv=None):
     ap.add_argument("--metrics", default=None, help="JSONL metrics output path")
     ap.add_argument("--sections", default=None,
                     help="comma-separated subset of sections to run")
+    ap.add_argument("--state-dir", default=None,
+                    help="directory for full-training-state checkpoints; "
+                         "an existing state file there resumes the section")
+    ap.add_argument("--checkpoint-every", type=int, default=10,
+                    help="rounds between state checkpoints (with --state-dir)")
+    ap.add_argument("--profile", default=None,
+                    help="emit a TensorBoard/XProf trace of the whole run "
+                         "into this directory")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.utils.config import load_ini
@@ -81,18 +102,30 @@ def main(argv=None):
     config = load_ini(args.config)
     only = set(args.sections.split(",")) if args.sections else None
 
-    printed_header = False
+    from multiagent_gnn_policies_tpu.utils.profiling import trace
+
     sections = [s for s in config.sections() if only is None or s in only]
+    with trace(args.profile):
+        run_all(sections, config, args)
+
+
+def run_all(sections, config, args):
+    printed_header = False
     if sections:
         for name in sections:
             section = config[name]
             if not printed_header:
                 print(section.get("header"))
                 printed_header = True
-            _, stats = run_experiment(section, args.metrics)
+            _, stats = run_experiment(
+                section, args.metrics, args.state_dir, args.checkpoint_every
+            )
             print(f"{name}, {stats['mean']}, {stats['std']}")
     else:
-        _, stats = run_experiment(config[config.default_section], args.metrics)
+        _, stats = run_experiment(
+            config[config.default_section], args.metrics,
+            args.state_dir, args.checkpoint_every,
+        )
         print(stats)
 
 
