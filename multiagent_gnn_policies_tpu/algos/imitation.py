@@ -338,7 +338,12 @@ class ImitationLearner:
 
     def save_training_state(self, path: str) -> None:
         from multiagent_gnn_policies_tpu.utils import checkpoint
+        from multiagent_gnn_policies_tpu.utils.debug import check_finite
 
+        # a checkpoint holding NaN params would resume into a poisoned run;
+        # fail loudly at the save boundary instead (utils/debug.py)
+        check_finite(self.params, "params")
+        check_finite(self.opt_state, "opt_state")
         checkpoint.save(path, self.training_state())
 
     def load_training_state(self, path: str) -> None:
