@@ -38,7 +38,8 @@ N_AGENTS = 100
 K = 3
 HIDDEN = (32, 32)
 T = 200                  # episode length (cfg/dagger.cfg horizon)
-BATCH_ENVS = 16          # parallel envs for the batched number (stderr)
+BATCH_ENVS = 128         # parallel envs; TPU v5e throughput saturates here
+                         # (measured: 100k steps/s @16, 422k @128, flat @256)
 COMM_RADIUS = 1.0
 
 
