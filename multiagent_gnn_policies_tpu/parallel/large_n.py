@@ -30,7 +30,7 @@ at N=10k (zero-shot transfer, CoRL 2020 §results / reference README.md:22-28).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -79,15 +79,24 @@ def _reward(x: jax.Array) -> jax.Array:
 
 
 class LargeNConfig(NamedTuple):
-    """Static setup for a large-N rollout."""
+    """Static setup for a large-N rollout.
+
+    ``path`` selects the graph-pass implementation:
+      * ``"blocked"`` — O(N^2) row-blocked XLA sweeps (ops/blocked.py);
+      * ``"pallas"``  — O(N^2) fused VMEM kernels (ops/pallas_kernels.py);
+      * ``"binned"``  — O(N·cap) spatial-hash gathers (ops/binned.py;
+        exact oracle, slow on TPU);
+      * ``"cells"``   — O(N) regular-layout cell grid (ops/cells.py;
+        the TPU-fast sparse path).
+    """
 
     params: FlockingParams
     block: int
     rows: int            # rows swept per device
     axis: Optional[str]  # mesh axis name, None = single device
-    use_pallas: bool = False
-    sparse: bool = False  # O(N·cap) spatial-hash path (ops/binned.py)
-    cap: int = 32         # per-cell gather capacity of the sparse path
+    path: str = "blocked"
+    cap: int = 32        # per-cell capacity (binned path)
+    cell_spec: Optional[tuple] = None  # ops/cells.py:CellSpec (cells path)
 
 
 def _row_range(cfg: LargeNConfig):
@@ -100,14 +109,23 @@ def _row_range(cfg: LargeNConfig):
 def _frame(cfg: LargeNConfig, x, centralized):
     """Frame quantities for the full swarm (regathered if sharded).
 
-    Returns ``(fq, nl)`` — ``nl`` is the sparse path's neighbor table
-    (consumed by the y-stack and the overflow accounting), or a dummy
-    scalar on the dense paths (so the scan carry keeps a fixed pytree).
+    Returns ``(fq, aux)`` — ``aux`` is the sparse path's neighbor
+    structure (NeighborList or CellGrid; consumed by the y-stack and the
+    overflow accounting), or a dummy scalar on the dense paths (so the
+    scan carry keeps a fixed pytree).
     """
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
     rr = _row_range(cfg)
-    if cfg.sparse:
+    if cfg.path == "cells":
+        from multiagent_gnn_policies_tpu.ops.cells import (
+            build_cell_grid,
+            cells_frame,
+        )
+
+        nl = build_cell_grid(x[:, :2], cfg.cell_spec)
+        fq = cells_frame(x, nl, cfg.cell_spec, cfg.params, centralized)
+    elif cfg.path == "binned":
         from multiagent_gnn_policies_tpu.ops.binned import (
             binned_frame,
             build_neighbor_list,
@@ -117,7 +135,7 @@ def _frame(cfg: LargeNConfig, x, centralized):
         # each device then gathers only its destination-row slice
         nl = build_neighbor_list(x[:, :2], cfg.params.comm_radius, cfg.cap)
         fq = binned_frame(x, nl, cfg.params, centralized, row_range=rr)
-    elif cfg.use_pallas:
+    elif cfg.path == "pallas":
         from multiagent_gnn_policies_tpu.ops.pallas_kernels import frame_rowsums
 
         start = jnp.zeros((), jnp.int32) if rr is None else rr[0]
@@ -131,9 +149,9 @@ def _frame(cfg: LargeNConfig, x, centralized):
         )
     else:
         fq = blocked_frame(x, cfg.params, centralized, cfg.block, row_range=rr)
-    if not cfg.sparse:
+    if cfg.path in ("blocked", "pallas"):
         nl = jnp.zeros((), jnp.int32)  # fixed-pytree dummy for the scan carry
-    if cfg.axis is None:
+    if cfg.axis is None or cfg.path == "cells":  # cells emits full rows
         return fq, nl
     gather = lambda a: jax.lax.all_gather(a, cfg.axis, tiled=True)
     return fq._replace(
@@ -144,8 +162,14 @@ def _frame(cfg: LargeNConfig, x, centralized):
     ), nl
 
 
-def _ystack(cfg: LargeNConfig, carry: DelayCarry, pos_now, deg_now, nl):
-    if cfg.sparse:
+def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl):
+    if cfg.path == "cells":
+        from multiagent_gnn_policies_tpu.ops.cells import cells_ystack
+
+        return cells_ystack(
+            carry, nl, x_now, deg_now, cfg.cell_spec, cfg.params
+        )
+    if cfg.path == "binned":
         from multiagent_gnn_policies_tpu.ops.binned import binned_ystack
 
         return binned_ystack(
@@ -153,10 +177,10 @@ def _ystack(cfg: LargeNConfig, carry: DelayCarry, pos_now, deg_now, nl):
             row_range=_row_range(cfg), axis_name=cfg.axis,
         )
     return delayed_ystack(
-        carry, pos_now, cfg.params, cfg.block,
+        carry, x_now[:, :2], cfg.params, cfg.block,
         row_range=_row_range(cfg),
         axis_name=cfg.axis,
-        deg_now=deg_now, use_pallas=cfg.use_pallas,
+        deg_now=deg_now, use_pallas=cfg.path == "pallas",
     )
 
 
@@ -207,19 +231,20 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
     reset_key, noise_key = jax.random.split(key)
     x, fq, nl = _reset(cfg, reset_key)
     carry = delay_carry_init(fq.values, p.n_agents, acfg.k if acfg else 1)
-    ovf = nl.overflow if cfg.sparse else jnp.zeros((), jnp.int32)
+    sparse = cfg.path in ("binned", "cells")
+    ovf = nl.overflow if sparse else jnp.zeros((), jnp.int32)
 
     def body(state, step_key):
         x, carry, fq, nl, ovf = state
         if expert_mode:
             action = fq.expert
         else:
-            y = _ystack(cfg, carry, x[:, :2], fq.degree, nl)
+            y = _ystack(cfg, carry, x, fq.degree, nl)
             action = actor_forward(params, acfg, y, None)
         pos_prev = x[:, :2]
         x2 = _dynamics(x, action, p, step_key)
         fq2, nl2 = _frame(cfg, x2, centralized)
-        if cfg.sparse:
+        if sparse:
             ovf = jnp.maximum(ovf, nl2.overflow)
         carry2 = delay_carry_update(
             carry, fq2.values, pos_prev,
@@ -245,12 +270,14 @@ def rollout_large(
     centralized_expert: bool = True,
     use_pallas: Optional[bool] = None,
     sparse: Optional[bool] = None,
-    cap: int = 32,
+    cap: Optional[int] = None,
+    path: Optional[str] = None,
+    cell_margin: float = 1.3,
     return_overflow: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """One greedy episode at scale. Returns ``(rewards (T,), final_x)``
-    (plus the sparse path's max neighbor-table overflow count when
-    ``return_overflow`` — 0 means every step's table was exact).
+    (plus the sparse paths' max neighbor-structure overflow count when
+    ``return_overflow`` — 0 means every step's structure was exact).
 
     Args:
       params/acfg: actor (``ind_agg`` must be 0 — all imitation policies);
@@ -259,22 +286,23 @@ def rollout_large(
         sweeps; ``None`` = single device.
       expert_mode: roll the analytic controller instead of the policy
         (the large-N expert baseline).
-      use_pallas: route the N^2 sweeps through the fused VMEM kernels
-        (ops/pallas_kernels.py). Default: only for swarms big enough that
-        the XLA path's (block, N) adjacency slabs stop fitting in VMEM
-        (measured on v5e: at N=10k XLA's fused sweeps are ~6x FASTER than
-        the Pallas grid — 458 vs 73 steps/s — so Pallas is reserved for
-        N >= 32768 where the slab would spill to HBM).
-      sparse: route everything through the O(N·cap) spatial-hash path
-        (ops/binned.py) instead of the O(N^2) sweeps. Opt-in: the path is
-        exact (tests/test_binned.py) but its per-candidate gathers run
-        near-scalar speed on TPU (measured 144 ms/step vs 14 ms for the
-        blocked N^2 sweep at N=10k on v5e) — it pays off on CPU and as the
-        exactness oracle; the TPU-fast sparse path is the regular-layout
-        cell grid (ops/cells.py). Requires ``comm_radius >= 1`` when the
-        expert is centralized (the unit-range potential must fit in the
-        3x3 cell neighborhood).
-      cap: sparse path's per-cell gather capacity.
+      path: graph-pass implementation — "blocked" / "pallas" / "binned" /
+        "cells" (see LargeNConfig). Default: "cells" for single-device
+        swarms with N >= 2048 (constant density makes the N^2 sweeps ~99%
+        wasted there), else "blocked"; "pallas" auto-engages on TPU at
+        N >= 32768 (where the blocked path's (block, N) VMEM slabs would
+        spill — below that XLA's fused sweeps measured ~6x faster than
+        the Pallas grid on v5e).
+      use_pallas / sparse: legacy boolean aliases for ``path`` ("pallas" /
+        "binned"). "binned" is the exactness oracle: correct everywhere,
+        near-scalar gather speed on TPU (144 ms/step vs 14 ms blocked at
+        N=10k) — prefer "cells" for performance. "binned" with a
+        centralized expert requires ``comm_radius >= 1`` (the unit-range
+        potential must fit in its 3x3 cell neighborhood; "cells" sizes
+        its cells as max(comm_radius, 1) so it has no such restriction).
+      cap: per-cell capacity (default 32 binned / 12 cells).
+      cell_margin: cells-path grid extent as a multiple of the swarm's
+        initial extent (overflow certifies sufficiency per step).
     """
     if acfg is not None and acfg.ind_agg != 0:
         raise ValueError("large-N path requires ind_agg == 0 actors")
@@ -284,34 +312,61 @@ def rollout_large(
         raise ValueError(f"n_agents={n} not divisible by mesh axis {n_dev}")
     rows = n // n_dev
     blk = block or pick_block(rows)
-    if sparse is None:
-        sparse = False
-    if sparse and centralized_expert and p.comm_radius < 1.0:
+    if path is None:
+        if sparse:
+            path = "binned"
+        elif use_pallas:
+            path = "pallas"
+        elif sparse is None and use_pallas is None:
+            if mesh is None and n >= 2048:
+                path = "cells"
+            elif jax.default_backend() != "cpu" and rows >= 32768:
+                path = "pallas"
+            else:
+                path = "blocked"
+        else:
+            path = "blocked"
+    if path == "binned" and centralized_expert and p.comm_radius < 1.0:
         raise ValueError(
-            "sparse path needs comm_radius >= 1.0 for the centralized "
-            "expert's unit-range potential (use sparse=False)"
+            "binned path needs comm_radius >= 1.0 for the centralized "
+            "expert's unit-range potential (use the cells or blocked path)"
         )
-    if use_pallas is None:
-        use_pallas = (
-            not sparse and jax.default_backend() != "cpu" and rows >= 32768
+    if path == "cells" and mesh is not None:
+        raise ValueError(
+            "cells path is single-device for now — use path='blocked' "
+            "for agent-sharded meshes"
         )
+    cell_spec = None
+    if path == "cells":
+        from multiagent_gnn_policies_tpu.ops.cells import make_cell_spec
+
+        cell_spec = make_cell_spec(p, cap=cap or 12, margin=cell_margin)
     cfg = LargeNConfig(
         params=p, block=blk, rows=rows,
         axis=axis if mesh is not None else None,
-        use_pallas=use_pallas, sparse=sparse, cap=cap,
+        path=path, cap=cap or 32, cell_spec=cell_spec,
     )
+    out = _jitted_rollout(
+        cfg, acfg, p.episode_steps, expert_mode, centralized_expert, mesh
+    )(params, key)
+    return out if return_overflow else out[:2]
+
+
+@lru_cache(maxsize=64)
+def _jitted_rollout(cfg, acfg, T, expert_mode, centralized, mesh):
+    """Cache the jitted episode per static setup — re-wrapping ``jax.jit``
+    every call would pay full Python retracing per episode (measured ~10 s
+    at N=10k on the cells path; XLA's compile cache does not cover
+    tracing)."""
     run = partial(
         _rollout_body, cfg, acfg,
-        T=p.episode_steps, expert_mode=expert_mode,
-        centralized=centralized_expert,
+        T=T, expert_mode=expert_mode, centralized=centralized,
     )
     if mesh is None:
-        out = jax.jit(run)(params, key)
-    else:
-        sharded = jax.shard_map(
-            run, mesh=mesh,
-            in_specs=(P(), P()), out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-        out = jax.jit(sharded)(params, key)
-    return out if return_overflow else out[:2]
+        return jax.jit(run)
+    sharded = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P()), out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
