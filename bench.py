@@ -195,8 +195,9 @@ def bench_tpu_rollout():
 
 
 def bench_large_n() -> None:
-    """Large-N transfer rollout (stderr detail): the reference's dense path
-    caps out at N~250; this is the blocked path at N=10k on one chip."""
+    """Large-N transfer rollouts (stderr detail): the reference's dense path
+    caps out at N~250; this is the blocked O(B·N)-memory path at N=10k and
+    the O(N) cell-list path at N=100k, each on one chip."""
     import jax
     import jax.numpy as jnp
 
@@ -204,20 +205,25 @@ def bench_large_n() -> None:
     from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
     from multiagent_gnn_policies_tpu.parallel.large_n import rollout_large
 
-    n, t_steps = 10000, 200
     acfg = ActorConfig(n_s=6, n_a=2, hidden=HIDDEN, k=K, ind_agg=0)
     params = init_actor(jax.random.key(0), acfg)
-    p = FlockingParams(n_agents=n, episode_steps=t_steps, max_resets=2)
-    t0 = time.perf_counter()
-    r, _ = rollout_large(params, acfg, jax.random.key(3), p)
-    r.block_until_ready()
-    log(f"large-N compile+first episode (N={n}): {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    r, _ = rollout_large(params, acfg, jax.random.key(4), p)
-    r.block_until_ready()
-    dt = time.perf_counter() - t0
-    log(f"large-N rollout N={n}: {t_steps / dt:.0f} steps/s "
-        f"(~{t_steps / dt * n * 6.7 * K:.2e} aggregated edges/s)")
+    for n, t_steps, episodes in ((10_000, 200, 3), (100_000, 25, 1)):
+        p = FlockingParams(n_agents=n, episode_steps=t_steps, max_resets=2)
+        t0 = time.perf_counter()
+        r, _, ovf = rollout_large(params, acfg, jax.random.key(3), p,
+                                  return_overflow=True)
+        float(np.asarray(r).sum())
+        log(f"large-N compile+first episode (N={n}): "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for e in range(episodes):
+            r, _, ovf = rollout_large(params, acfg, jax.random.key(4 + e), p,
+                                      return_overflow=True)
+            float(np.asarray(r).sum())        # host sync
+        dt = (time.perf_counter() - t0) / episodes
+        log(f"large-N rollout N={n}: {t_steps / dt:.0f} steps/s "
+            f"(~{t_steps / dt * n * 6.7 * K:.2e} aggregated edges/s, "
+            f"overflow={int(ovf)})")
 
 
 def main() -> None:

@@ -287,12 +287,12 @@ def rollout_large(
       expert_mode: roll the analytic controller instead of the policy
         (the large-N expert baseline).
       path: graph-pass implementation — "blocked" / "pallas" / "binned" /
-        "cells" (see LargeNConfig). Default: "cells" for single-device
-        swarms with N >= 2048 (constant density makes the N^2 sweeps ~99%
-        wasted there), else "blocked"; "pallas" auto-engages on TPU at
-        N >= 32768 (where the blocked path's (block, N) VMEM slabs would
-        spill — below that XLA's fused sweeps measured ~6x faster than
-        the Pallas grid on v5e).
+        "cells" (see LargeNConfig). Default: "blocked" below N=32768 —
+        XLA's fused N^2 sweeps measured 4.7 ms/step at N=10k on v5e,
+        beating every sparse structure there — and "cells" at N >= 32768
+        for single-device swarms, where O(N) wins (parity at 32k, 7.4x at
+        100k where cells is the only tractable path: 394 ms/step vs
+        pallas 2912, blocked extrapolates to ~700).
       use_pallas / sparse: legacy boolean aliases for ``path`` ("pallas" /
         "binned"). "binned" is the exactness oracle: correct everywhere,
         near-scalar gather speed on TPU (144 ms/step vs 14 ms blocked at
@@ -317,13 +317,10 @@ def rollout_large(
             path = "binned"
         elif use_pallas:
             path = "pallas"
-        elif sparse is None and use_pallas is None:
-            if mesh is None and n >= 2048:
-                path = "cells"
-            elif jax.default_backend() != "cpu" and rows >= 32768:
-                path = "pallas"
-            else:
-                path = "blocked"
+        elif sparse is None and use_pallas is None and (
+            mesh is None and n >= 32768
+        ):
+            path = "cells"
         else:
             path = "blocked"
     if path == "binned" and centralized_expert and p.comm_radius < 1.0:
