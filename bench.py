@@ -144,8 +144,12 @@ def bench_reference_baseline(n_steps: int = 60) -> float:
 def bench_tpu_rollout():
     import jax
     import jax.numpy as jnp
-    from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
+    from multiagent_gnn_policies_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+        respect_platform_env,
+    )
 
+    respect_platform_env()
     enable_persistent_cache()
     from multiagent_gnn_policies_tpu.algos.imitation import rollout_episode
     from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams, make_env

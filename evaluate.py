@@ -31,27 +31,38 @@ import os
 import numpy as np
 
 
-def load_actor_params(path: str):
-    """Load actor params from .npz (ours) or a torch state_dict (reference)."""
+def load_actor_params(path: str, like):
+    """Load actor params from .npz (ours) or a torch state_dict (reference).
+
+    Args:
+      like: a cfg-derived actor params pytree (e.g. from ``init_actor``).
+        The checkpoint's stored treedef manifest is validated against it
+        (utils/checkpoint.load) and every leaf's shape must match — a
+        checkpoint trained with a different architecture/K fails with a
+        clear error instead of silently mis-zipping leaves.
+    """
     from multiagent_gnn_policies_tpu.models.torch_import import (
         actor_params_from_state_dict,
     )
+    from multiagent_gnn_policies_tpu.utils import checkpoint
 
     if path.endswith(".npz"):
-        import jax.numpy as jnp
+        try:
+            params = checkpoint.load(path, like)
+        except ValueError as e:
+            raise SystemExit(f"{path}: {e}") from e
+    else:
+        import torch
 
-        with np.load(path, allow_pickle=False) as z:
-            n_layers = sum(1 for k in z.files if k.startswith("leaf_")) // 2
-            leaves = [z[f"leaf_{i}"] for i in range(2 * n_layers)]
-        # checkpoint.save flattens [{'b','w'}...] in sorted-key order
-        return [
-            {"b": jnp.asarray(leaves[2 * i]), "w": jnp.asarray(leaves[2 * i + 1])}
-            for i in range(n_layers)
-        ]
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return actor_params_from_state_dict(sd)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        params = actor_params_from_state_dict(sd)
+    for i, (got, want) in enumerate(zip(params, like)):
+        if got["w"].shape != want["w"].shape:
+            raise SystemExit(
+                f"{path}: layer {i} weight shape {got['w'].shape} != "
+                f"cfg-implied {want['w'].shape}"
+            )
+    return params
 
 
 def evaluate_blocked(section, actor_path, k=None, n_agents=None,
@@ -63,8 +74,12 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
     the scaled-up version of the reference's transfer experiments."""
     import jax
     import numpy as np
-    from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
+    from multiagent_gnn_policies_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+        respect_platform_env,
+    )
 
+    respect_platform_env()
     enable_persistent_cache()
     from jax.sharding import Mesh
     from multiagent_gnn_policies_tpu.envs.flocking import ENV_REGISTRY, FlockingParams
@@ -81,10 +96,14 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
     if expert:
         params, acfg = None, None
     else:
-        params = load_actor_params(actor_path)
+        from multiagent_gnn_policies_tpu.models.actor import init_actor
+
         kk = k or cfg.k
         acfg = ActorConfig(n_s=cfg.n_states, n_a=cfg.n_actions,
                            hidden=cfg.hidden, k=kk, ind_agg=0)
+        params = load_actor_params(
+            actor_path, init_actor(jax.random.key(0), acfg)
+        )
     mesh = None
     if mesh_devices:
         devs = jax.devices()
@@ -109,8 +128,12 @@ def evaluate_section(section, actor_path: str, k=None, per_episode=False,
                      traj_path=None):
     import jax
     import jax.numpy as jnp
-    from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
+    from multiagent_gnn_policies_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+        respect_platform_env,
+    )
 
+    respect_platform_env()
     enable_persistent_cache()
     from multiagent_gnn_policies_tpu.algos.imitation import (
         ImitationConfig,
@@ -121,15 +144,7 @@ def evaluate_section(section, actor_path: str, k=None, per_episode=False,
     cfg = ExperimentConfig.from_section(section)
     icfg = ImitationConfig.from_experiment(cfg, mode="dagger", k=k)
     learner = ImitationLearner(icfg)
-    params = load_actor_params(actor_path)
-    # shape-check against the freshly initialized params
-    for got, want in zip(params, learner.params):
-        if got["w"].shape != want["w"].shape:
-            raise SystemExit(
-                f"checkpoint layer shape {got['w'].shape} != cfg-implied "
-                f"{want['w'].shape} (actor {icfg.actor}) for {actor_path}"
-            )
-    learner.params = params
+    learner.params = params = load_actor_params(actor_path, learner.params)
 
     rewards = np.asarray(learner._eval(params, jax.random.key(cfg.seed)))
     if per_episode:

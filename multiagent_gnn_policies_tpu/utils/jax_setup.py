@@ -16,6 +16,21 @@ from __future__ import annotations
 import os
 
 
+def respect_platform_env() -> None:
+    """Honor an explicit ``JAX_PLATFORMS`` even under the TPU boot shim.
+
+    This environment's interpreter-start shim registers the remote-TPU
+    backend unconditionally, which re-writes ``jax_platforms`` to
+    ``"axon,cpu"`` — silently overriding a caller's ``JAX_PLATFORMS=cpu``
+    (and making CPU-only subprocesses contend for the single TPU). CLIs
+    call this first so an explicitly requested platform wins."""
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "axon" not in plat.split(","):
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Turn on JAX's on-disk compilation cache. Safe to call repeatedly;
     must run before the first compilation to benefit it."""

@@ -58,6 +58,9 @@ def velocity_disagreement(x: np.ndarray) -> float:
 
 
 def main(argv=None):
+    from multiagent_gnn_policies_tpu.utils.jax_setup import respect_platform_env
+
+    respect_platform_env()
     from multiagent_gnn_policies_tpu.envs.flocking import (
         ENV_REGISTRY,
         FlockingParams,

@@ -97,6 +97,38 @@ def test_evaluate_mismatched_k_fails(tmp_path, reference_path):
     assert "shape" in out.stderr
 
 
+def test_evaluate_mismatched_npz_fails(tmp_path):
+    """.npz checkpoints load via the treedef manifest (utils/checkpoint.load)
+    and reject a cfg-implied architecture mismatch with a clear error."""
+    import jax
+    from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
+    from multiagent_gnn_policies_tpu.utils import checkpoint
+
+    ckpt = tmp_path / "actor_k3.npz"
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(32, 32), k=3, ind_agg=0)
+    checkpoint.save(str(ckpt), init_actor(jax.random.key(0), acfg))
+
+    cfg = tmp_path / "eval.cfg"
+    cfg.write_text(EVAL_CFG.format(k=2))  # checkpoint is K=3
+    out = subprocess.run(
+        [sys.executable, "evaluate.py", str(cfg), "--actor-path", str(ckpt)],
+        capture_output=True, text=True, cwd="/root/repo", env=ENV, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "shape" in out.stderr
+
+    # a non-actor pytree (different treedef) must also be rejected clearly
+    bad = tmp_path / "notactor.npz"
+    checkpoint.save(str(bad), {"foo": np.zeros(3)})
+    cfg.write_text(EVAL_CFG.format(k=3))
+    out = subprocess.run(
+        [sys.executable, "evaluate.py", str(cfg), "--actor-path", str(bad)],
+        capture_output=True, text=True, cwd="/root/repo", env=ENV, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "structure mismatch" in out.stderr
+
+
 def test_save_trajectory(tmp_path, reference_path):
     cfg = tmp_path / "eval.cfg"
     cfg.write_text(EVAL_CFG.format(k=3))

@@ -30,8 +30,12 @@ def run_experiment(section, metrics_path=None, state_dir=None,
                    checkpoint_every=0):
     # Import late so `train.py --help` stays instant.
     import jax
-    from multiagent_gnn_policies_tpu.utils.jax_setup import enable_persistent_cache
+    from multiagent_gnn_policies_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+        respect_platform_env,
+    )
 
+    respect_platform_env()
     enable_persistent_cache()
     from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
     from multiagent_gnn_policies_tpu.utils.metrics import MetricsLogger
