@@ -79,7 +79,12 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
         respect_platform_env,
     )
 
+    from multiagent_gnn_policies_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
     respect_platform_env()
+    maybe_initialize_distributed()  # env-driven multi-host bootstrap
     enable_persistent_cache()
     from jax.sharding import Mesh
     from multiagent_gnn_policies_tpu.envs.flocking import ENV_REGISTRY, FlockingParams
@@ -133,7 +138,12 @@ def evaluate_section(section, actor_path: str, k=None, per_episode=False,
         respect_platform_env,
     )
 
+    from multiagent_gnn_policies_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
     respect_platform_env()
+    maybe_initialize_distributed()  # env-driven multi-host bootstrap
     enable_persistent_cache()
     from multiagent_gnn_policies_tpu.algos.imitation import (
         ImitationConfig,

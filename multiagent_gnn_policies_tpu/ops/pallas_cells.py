@@ -1,0 +1,439 @@
+"""Fused Pallas cell-sweep kernels — the O(N) neighbor structure at MXU/VPU
+tile shapes.
+
+ops/cells.py already gives the O(N) cell-list algorithm with regular data
+movement, but its XLA formulation is tile-hostile: the pair block
+``(strip, cy, cap, 9·cap)`` puts ``9·cap = 108`` on the 128-lane axis (18%
+pad), ``cap = 12`` on sublanes (33% pad per 8-tile), and materializes nine
+stacked dynamic slices per strip — measured 394 ms/step at N=100k on v5e,
+<1% of the chip. These kernels rebuild the same sweep at exact tile shapes:
+
+* **Slot layout** ``(cx+2, C·cap, cy_pad)`` per frame: sub-slot ``b`` on
+  sublanes (``cap = 16`` — one f32 tile pair), grid column ``j`` on lanes
+  (``cy_pad`` a multiple of 128), grid row ``i`` on the grid axis. The 3x3
+  cell neighborhood of every cell in a row is then THREE static row blocks
+  x THREE static lane shifts — no gathers, no transposes, no stacking.
+* **Pair block** ``(cap^2, cy_pad)``: pair ``(a, b)`` of source sub-slot
+  ``a`` and candidate sub-slot ``b`` lives at sublane ``a·cap + b`` —
+  256 sublanes = 32 exact f32 tiles. Built by sublane broadcasts only.
+* Per offset the pair math runs on the VPU and reduces over ``b`` (a
+  ``(cap, cap, L) -> (cap, L)`` sublane-group sum); nine offsets unroll
+  statically. Empty grid rows (the margin the static extent reserves for
+  swarm drift) are skipped via a scalar-prefetched occupancy flag.
+
+Two kernels cover everything the cell sweep is used for:
+
+* :func:`frame` — observation feature row-sums, radius degree, expert
+  potential-gradient sums, row-min pairwise r^2 (envs/flocking.py:observe
+  / expert_action semantics; the velocity-consensus term of the
+  centralized expert is completed outside — it is O(N), not a sweep).
+* :func:`apply_adjT` — ``out[i] = sum_{j in nbr(i)} cols[j] / deg_j``, the
+  row-normalized adjacency transpose-apply of the delayed-aggregation
+  stack (ops/graph.py:aggregate semantics over the radius graph built
+  from (possibly historical) positions — reference
+  state_with_delay.py:44-47 applied in feature space).
+
+Exactness contract matches ops/cells.py: with per-step ``overflow == 0``
+(no cell over ``cap``, no agent outside the static extent) every radius
+neighbor is seen exactly once — tests/test_pallas_cells.py asserts
+equality with the dense/blocked paths. Cell edge is
+``max(comm_radius, 1.0)`` so the 3x3 neighborhood covers both the radius
+graph and the expert's unit-range potential.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PCellSpec(NamedTuple):
+    """Static cell-grid geometry for the Pallas sweep (hashable)."""
+
+    cx: int        # grid rows (cells along x)
+    cy: int        # grid cols (cells along y)
+    cap: int       # agent slots per cell (sublane tile: keep a multiple of 8)
+    cell: float    # cell edge length (>= comm_radius and >= 1.0)
+
+    @property
+    def cy_pad(self) -> int:
+        """Lane width: cy + 2 halo columns, padded to the 128-lane tile."""
+        return _ceil_to(self.cy + 2, 128)
+
+
+def make_pcell_spec(
+    p: FlockingParams, cap: int = 16, margin: float = 1.3
+) -> PCellSpec:
+    """Grid sized for ``p``'s initial swarm extent times ``margin``
+    (ops/cells.py:make_cell_spec sizing argument; ``cap = 16`` puts the
+    Poisson(~2.1) per-cell occupancy overflow probability below 1e-10)."""
+    cell = max(p.comm_radius, 1.0)
+    extent = 2.0 * math.sqrt(p.arena_r2_per_agent * p.n_agents) * margin
+    need = max(3, math.ceil(extent / cell) + 2)
+    return PCellSpec(cx=need, cy=need, cap=cap, cell=cell)
+
+
+class PCellGrid(NamedTuple):
+    """One frame's agent -> (cell, sub-slot) assignment.
+
+    Attributes:
+      slot: (N,) int32 ``(i·cap + b)·cy + j`` (cell-row-major slot id);
+        -1 = dropped (cell over ``cap`` or outside the static extent).
+      row_count: (cx,) int32 agents per grid row (kernel skip flags).
+      overflow: () int32 dropped-agent count; 0 => the sweep is exact.
+    """
+
+    slot: jax.Array
+    row_count: jax.Array
+    overflow: jax.Array
+
+
+def build_pcell_grid(pos: jax.Array, spec: PCellSpec) -> PCellGrid:
+    """Sort agents by cell id and assign packed sub-slots (the one
+    irregular op per frame — ops/cells.py:build_cell_grid semantics)."""
+    n = pos.shape[0]
+    origin = jnp.min(pos, axis=0)
+    ij = jnp.floor((pos - origin) / spec.cell).astype(jnp.int32)   # >= 0
+    in_grid = (ij[:, 0] < spec.cx) & (ij[:, 1] < spec.cy)
+    ijc = jnp.minimum(ij, jnp.asarray([spec.cx - 1, spec.cy - 1], jnp.int32))
+    cid = ijc[:, 0] * spec.cy + ijc[:, 1]
+    order = jnp.argsort(cid)                         # stable -> deterministic
+    sc = cid[order]
+    rank = (jnp.arange(n, dtype=jnp.int32)
+            - jnp.searchsorted(sc, sc).astype(jnp.int32))
+    ok = (rank < spec.cap) & in_grid[order]
+    slot_sorted = jnp.where(
+        ok,
+        (sc // spec.cy * spec.cap + rank) * spec.cy + sc % spec.cy,
+        -1,
+    )
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    row_count = jnp.zeros((spec.cx,), jnp.int32).at[
+        jnp.where(slot >= 0, slot // (spec.cap * spec.cy), 0)
+    ].add(jnp.where(slot >= 0, 1, 0))
+    return PCellGrid(
+        slot=slot, row_count=row_count,
+        overflow=(n - jnp.sum(ok)).astype(jnp.int32),
+    )
+
+
+def _pack(grid: PCellGrid, spec: PCellSpec, vals: jax.Array) -> jax.Array:
+    """(N, C) agent values -> (cx+2, C·cap, cy_pad) kernel layout.
+
+    One ROW-contiguous scatter into a ``(cx·cap·cy, C)`` slot table (rows
+    stay whole vectors — measured ~100x faster on TPU than element-wise
+    scatters into the strided kernel layout), then one dense
+    reshape/transpose/pad running at HBM bandwidth."""
+    n, c = vals.shape
+    cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
+    nslot = cx * cap * cy
+    idx = jnp.where(grid.slot >= 0, grid.slot, nslot)             # dump row
+    table = jnp.zeros((nslot + 1, c), vals.dtype).at[idx].set(vals)[:-1]
+    t = table.reshape(cx, cap, cy, c).transpose(0, 3, 1, 2)       # (cx,C,cap,cy)
+    t = t.reshape(cx, c * cap, cy)
+    return jnp.pad(t, ((1, 1), (0, 0), (1, cyp - cy - 1)))
+
+
+def _unpack(
+    grid: PCellGrid, spec: PCellSpec, out: jax.Array, fill: float = 0.0
+) -> jax.Array:
+    """(cx, Q·cap, cy_pad) kernel output -> (N, Q) per-agent values (dense
+    transform back to the slot table + one row gather); dropped agents get
+    ``fill``."""
+    cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
+    q = out.shape[1] // cap
+    t = out[:, :, 1:1 + cy].reshape(cx, q, cap, cy)
+    table = t.transpose(0, 2, 3, 1).reshape(cx * cap * cy, q)
+    ok = grid.slot[:, None] >= 0
+    vals = table[jnp.where(grid.slot >= 0, grid.slot, 0)]
+    return jnp.where(ok, vals, fill)
+
+
+def _lane_shift(x: jax.Array, dy: int) -> jax.Array:
+    """``out[..., l] = x[..., l + dy]`` with zero fill (static shift; the
+    halo lanes carry valid = 0 so zeros are exact)."""
+    if dy == 0:
+        return x
+    z = jnp.zeros_like(x[..., :1])
+    if dy > 0:
+        return jnp.concatenate([x[..., 1:], z], axis=-1)
+    return jnp.concatenate([z, x[..., :-1]], axis=-1)
+
+
+def _expand_a(x: jax.Array, cap: int) -> jax.Array:
+    """(cap, L) source block -> (cap^2, L) pair block, a-major
+    (row ``a·cap + b`` carries source sub-slot ``a``)."""
+    l = x.shape[-1]
+    return jnp.broadcast_to(x[:, None, :], (cap, cap, l)).reshape(cap * cap, l)
+
+
+def _expand_b(x: jax.Array, cap: int) -> jax.Array:
+    """(cap, L) candidate block -> (cap^2, L) pair block, b-minor."""
+    l = x.shape[-1]
+    return jnp.broadcast_to(x[None, :, :], (cap, cap, l)).reshape(cap * cap, l)
+
+
+def _group_sum(x: jax.Array, cap: int) -> jax.Array:
+    """(cap^2, L) pair block -> (cap, L) per-source sums over ``b``."""
+    l = x.shape[-1]
+    return jnp.sum(x.reshape(cap, cap, l), axis=1)
+
+
+_OFFS = [(dx, dy) for dx in range(3) for dy in (-1, 0, 1)]
+
+
+def _frame_kernel(
+    rowcnt_ref,                 # (cx,) int32 scalar prefetch: agents per row
+    prev_ref, cur_ref, next_ref,  # (1, 5·cap, cy_pad): x|y|vx|vy|valid
+    out_ref,                    # (1, 10·cap, cy_pad):
+                                #   v0..v5 | degree | gx | gy | min_r2
+    *, cap: int, r2cut: float, centralized: bool,
+):
+    i = pl.program_id(0)
+
+    @pl.when(rowcnt_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0, 9 * cap:, :] = jnp.full_like(out_ref[0, 9 * cap:, :], 1e12)
+
+    @pl.when(rowcnt_ref[i] > 0)
+    def _():
+        cur = cur_ref[0]
+        sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
+        svx = _expand_a(cur[2 * cap:3 * cap], cap)
+        svy = _expand_a(cur[3 * cap:4 * cap], cap)
+        sval = _expand_a(cur[4 * cap:5 * cap], cap)
+
+        # self-pair rows of the center offset: sublane a·cap + b with a == b
+        lane = sx.shape[-1]
+        r = jax.lax.broadcasted_iota(jnp.int32, (cap * cap, lane), 0)
+        not_self = (r // cap != r % cap)
+
+        accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(9)]
+        min_r2 = jnp.full((cap, lane), 1e12, cur.dtype)
+        rows = (prev_ref, cur_ref, next_ref)
+        for dx, dy in _OFFS:
+            nb = _lane_shift(rows[dx][0], dy)
+            nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
+            nvx = _expand_b(nb[2 * cap:3 * cap], cap)
+            nvy = _expand_b(nb[3 * cap:4 * cap], cap)
+            ok = sval * _expand_b(nb[4 * cap:5 * cap], cap)
+            if dx == 1 and dy == 0:
+                ok = jnp.where(not_self, ok, 0.0)
+            dxp, dyp = sx - nx, sy - ny
+            dvx, dvy = svx - nvx, svy - nvy
+            r2 = dxp * dxp + dyp * dyp
+            r2s = jnp.where(ok > 0, r2, 1.0)
+            inv2 = 1.0 / r2s
+            inv4 = inv2 * inv2
+            m = jnp.where(r2 < r2cut, ok, 0.0)
+            in_range = jnp.where(r2 <= 1.0, ok, 0.0)
+            gx = (-2.0 * dxp * inv4 + 2.0 * dxp * inv2)
+            gy = (-2.0 * dyp * inv4 + 2.0 * dyp * inv2)
+            if not centralized:
+                gx, gy = gx * m, gy * m
+                # decentralized expert also restricts velocity consensus
+                # to radius neighbors — that term is m-summed dvx (= v0/v3)
+            else:
+                gx, gy = gx * in_range, gy * in_range
+            parts = (dvx * m, dxp * inv4 * m, dxp * inv2 * m,
+                     dvy * m, dyp * inv4 * m, dyp * inv2 * m,
+                     m, gx, gy)
+            for q in range(9):
+                accs[q] = accs[q] + _group_sum(parts[q], cap)
+            min_r2 = jnp.minimum(
+                min_r2,
+                jnp.min(jnp.where(ok > 0, r2, 1e12).reshape(cap, cap, lane),
+                        axis=1),
+            )
+        out_ref[0] = jnp.concatenate(accs + [min_r2], axis=0)
+
+
+def _apply_kernel(
+    rowcnt_ref,                 # (cx,) int32
+    prev_ref, cur_ref, next_ref,  # (1, (3 + C)·cap, cy_pad): x|y|valid|cols
+    out_ref,                    # (1, C·cap, cy_pad)
+    *, cap: int, c: int, r2cut: float,
+):
+    i = pl.program_id(0)
+
+    @pl.when(rowcnt_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(rowcnt_ref[i] > 0)
+    def _():
+        cur = cur_ref[0]
+        sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
+        sval = _expand_a(cur[2 * cap:3 * cap], cap)
+        lane = sx.shape[-1]
+        r = jax.lax.broadcasted_iota(jnp.int32, (cap * cap, lane), 0)
+        not_self = (r // cap != r % cap)
+
+        accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(c)]
+        rows = (prev_ref, cur_ref, next_ref)
+        for dx, dy in _OFFS:
+            nb = _lane_shift(rows[dx][0], dy)
+            nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
+            ok = sval * _expand_b(nb[2 * cap:3 * cap], cap)
+            if dx == 1 and dy == 0:
+                ok = jnp.where(not_self, ok, 0.0)
+            dxp, dyp = sx - nx, sy - ny
+            m = jnp.where(dxp * dxp + dyp * dyp < r2cut, ok, 0.0)
+            for q in range(c):
+                w = _expand_b(nb[(3 + q) * cap:(4 + q) * cap], cap)
+                accs[q] = accs[q] + _group_sum(m * w, cap)
+        out_ref[0] = jnp.concatenate(accs, axis=0)
+
+
+def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret):
+    """Shared pallas_call plumbing: one program per grid row; each reads
+    padded rows i-1 / i / i+1 as three overlapping (1, ·, ·) blocks."""
+    _, ch_cap, cyp = packed.shape
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_rows,),
+            in_specs=[
+                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i + 1, 0, 0)),
+                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i + 2, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, out_channels, cyp), lambda i, s: (i, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_rows, out_channels, cyp), packed.dtype
+        ),
+        interpret=interpret,
+    )(rowcnt, packed, packed, packed)
+    return out
+
+
+def frame(
+    x: jax.Array,
+    grid: PCellGrid,
+    spec: PCellSpec,
+    p: FlockingParams,
+    centralized: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Frame quantities (ops/blocked.py:blocked_frame semantics) via the
+    fused Pallas cell sweep; per-agent outputs.
+
+    The centralized expert's velocity-consensus term
+    ``sum_{j != i}(v_i - v_j) = N·v_i - sum_j v_j`` is O(N) and computed
+    here outside the kernel (exactly as ops/cells.py:cells_frame does)."""
+    from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = x.shape[0]
+    valid = jnp.ones((n, 1), x.dtype)
+    packed = _pack(grid, spec, jnp.concatenate([x, valid], axis=-1))
+    kernel = functools.partial(
+        _frame_kernel, cap=spec.cap,
+        r2cut=float(p.comm_radius) ** 2, centralized=centralized,
+    )
+    out = _sweep(kernel, spec.cx, grid.row_count, packed,
+                 10 * spec.cap, interpret)
+    per = _unpack(grid, spec, out)                    # (N, 10)
+    gxs, gys = per[:, 7], per[:, 8]
+    if centralized:
+        vsum = jnp.sum(x[:, 2:4], axis=0)
+        ux = -((n * x[:, 2] - vsum[0]) + gxs)
+        uy = -((n * x[:, 3] - vsum[1]) + gys)
+    else:
+        ux = -(per[:, 0] + gxs)
+        uy = -(per[:, 3] + gys)
+    expert = jnp.clip(jnp.stack([ux, uy], -1), -10.0, 10.0)
+    min_r2 = jnp.min(_unpack(grid, spec, out, fill=1e12)[:, 9])
+    return FrameQuantities(
+        values=per[:, :6], degree=per[:, 6], expert=expert, min_r2=min_r2,
+    )
+
+
+def apply_adjT(
+    pos_src: jax.Array,
+    deg_src: jax.Array,
+    cols: jax.Array,
+    spec: PCellSpec,
+    p: FlockingParams,
+    grid: Optional[PCellGrid] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``out[i] = sum_{j in nbr(i)} cols[j] / deg_j`` over the radius graph
+    of ``pos_src`` (ops/cells.py:cells_apply_adjT semantics — the graph is
+    symmetric so the transpose-apply is a neighbor sum of pre-scaled
+    columns)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if grid is None:
+        grid = build_pcell_grid(pos_src, spec)
+    c = cols.shape[-1]
+    wcols = cols / jnp.maximum(deg_src, 1.0)[:, None]
+    valid = jnp.ones((pos_src.shape[0], 1), pos_src.dtype)
+    packed = _pack(
+        grid, spec, jnp.concatenate([pos_src, valid, wcols], axis=-1)
+    )
+    kernel = functools.partial(
+        _apply_kernel, cap=spec.cap, c=c, r2cut=float(p.comm_radius) ** 2
+    )
+    out = _sweep(kernel, spec.cx, grid.row_count, packed,
+                 c * spec.cap, interpret)
+    return _unpack(grid, spec, out)
+
+
+def ystack(
+    carry,
+    grid_now: PCellGrid,
+    x_now: jax.Array,
+    deg_now: jax.Array,
+    spec: PCellSpec,
+    p: FlockingParams,
+    grid_hist: Optional[tuple] = None,
+) -> jax.Array:
+    """The aggregated delayed stack ``y_k = G_k(t)^T x_{t-k}`` (K, N, F) —
+    ops/blocked.py:delayed_ystack with every adjacency transpose-apply on
+    the Pallas cell sweep. Newest graph applied first (the reference's
+    left-multiplied GSO recursion, state_with_delay.py:44-47).
+
+    Args:
+      grid_hist: (k-2)-tuple of the historical graphs' ``PCellGrid``s,
+        newest first (the rollout carries them — a packing is a pure
+        function of positions, so carrying kills the per-step re-sort);
+        rebuilt from ``carry.pos_hist`` when ``None``.
+    """
+    k = carry.history.shape[0]
+    n, f = carry.history.shape[1:]
+    y = [carry.history[0]]
+    if k == 1:
+        return jnp.stack(y)
+    v = carry.history[1:]
+    for s in range(k - 1):
+        if s == 0:
+            pos_s, deg_s, grid_s = x_now[:, :2], deg_now, grid_now
+        else:
+            pos_s, deg_s = carry.pos_hist[s - 1], carry.deg_hist[s - 1]
+            grid_s = grid_hist[s - 1] if grid_hist is not None else None
+        cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
+        out = apply_adjT(pos_s, deg_s, cols, spec, p, grid=grid_s)
+        v = v.at[s:].set(
+            jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2))
+        )
+        y.append(v[s])
+    return jnp.stack(y)

@@ -86,8 +86,9 @@ class LargeNConfig(NamedTuple):
       * ``"pallas"``  — O(N^2) fused VMEM kernels (ops/pallas_kernels.py);
       * ``"binned"``  — O(N·cap) spatial-hash gathers (ops/binned.py;
         exact oracle, slow on TPU);
-      * ``"cells"``   — O(N) regular-layout cell grid (ops/cells.py;
-        the TPU-fast sparse path).
+      * ``"cells"``   — O(N) regular-layout cell grid (ops/cells.py);
+      * ``"pcells"``  — O(N) fused Pallas cell sweep at exact tile shapes
+        (ops/pallas_cells.py; the fastest large-N path on TPU).
     """
 
     params: FlockingParams
@@ -117,7 +118,15 @@ def _frame(cfg: LargeNConfig, x, centralized):
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
     rr = _row_range(cfg)
-    if cfg.path == "cells":
+    if cfg.path == "pcells":
+        from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+            build_pcell_grid,
+            frame as pcells_frame,
+        )
+
+        nl = build_pcell_grid(x[:, :2], cfg.cell_spec)
+        fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized)
+    elif cfg.path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import (
             build_cell_grid,
             cells_frame,
@@ -151,7 +160,7 @@ def _frame(cfg: LargeNConfig, x, centralized):
         fq = blocked_frame(x, cfg.params, centralized, cfg.block, row_range=rr)
     if cfg.path in ("blocked", "pallas"):
         nl = jnp.zeros((), jnp.int32)  # fixed-pytree dummy for the scan carry
-    if cfg.axis is None or cfg.path == "cells":  # cells emits full rows
+    if cfg.axis is None or cfg.path in ("cells", "pcells"):  # full rows
         return fq, nl
     gather = lambda a: jax.lax.all_gather(a, cfg.axis, tiled=True)
     return fq._replace(
@@ -162,7 +171,17 @@ def _frame(cfg: LargeNConfig, x, centralized):
     ), nl
 
 
-def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl):
+def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl,
+            grid_hist=None):
+    if cfg.path == "pcells":
+        from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+            ystack as pcells_ystack,
+        )
+
+        return pcells_ystack(
+            carry, nl, x_now, deg_now, cfg.cell_spec, cfg.params,
+            grid_hist=grid_hist,
+        )
     if cfg.path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import cells_ystack
 
@@ -230,16 +249,22 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
     p = cfg.params
     reset_key, noise_key = jax.random.split(key)
     x, fq, nl = _reset(cfg, reset_key)
-    carry = delay_carry_init(fq.values, p.n_agents, acfg.k if acfg else 1)
-    sparse = cfg.path in ("binned", "cells")
+    k = acfg.k if acfg else 1
+    carry = delay_carry_init(fq.values, p.n_agents, k)
+    sparse = cfg.path in ("binned", "cells", "pcells")
     ovf = nl.overflow if sparse else jnp.zeros((), jnp.int32)
+    # pcells carries the K-2 historical graphs' packings (a packing is a
+    # pure function of positions, so seeding with the reset frame's is
+    # exact: the matching history slots are zero until step >= k anyway)
+    n_gh = k - 2 if (cfg.path == "pcells" and not expert_mode) else 0
+    gh = tuple(nl for _ in range(n_gh))
 
     def body(state, step_key):
-        x, carry, fq, nl, ovf = state
+        x, carry, fq, nl, gh, ovf = state
         if expert_mode:
             action = fq.expert
         else:
-            y = _ystack(cfg, carry, x, fq.degree, nl)
+            y = _ystack(cfg, carry, x, fq.degree, nl, grid_hist=gh or None)
             action = actor_forward(params, acfg, y, None)
         pos_prev = x[:, :2]
         x2 = _dynamics(x, action, p, step_key)
@@ -250,10 +275,11 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
             carry, fq2.values, pos_prev,
             deg_prev=fq.degree if carry.deg_hist.shape[0] else None,
         )
-        return (x2, carry2, fq2, nl2, ovf), _reward(x2)
+        gh2 = (nl,) + gh[:-1] if n_gh else gh
+        return (x2, carry2, fq2, nl2, gh2, ovf), _reward(x2)
 
-    (x, _, _, _, ovf), rewards = jax.lax.scan(
-        body, (x, carry, fq, nl, ovf), jax.random.split(noise_key, T)
+    (x, _, _, _, _, ovf), rewards = jax.lax.scan(
+        body, (x, carry, fq, nl, gh, ovf), jax.random.split(noise_key, T)
     )
     return rewards, x, ovf
 
@@ -287,12 +313,12 @@ def rollout_large(
       expert_mode: roll the analytic controller instead of the policy
         (the large-N expert baseline).
       path: graph-pass implementation — "blocked" / "pallas" / "binned" /
-        "cells" (see LargeNConfig). Default: "blocked" below N=32768 —
-        XLA's fused N^2 sweeps measured 4.7 ms/step at N=10k on v5e,
-        beating every sparse structure there — and "cells" at N >= 32768
-        for single-device swarms, where O(N) wins (parity at 32k, 7.4x at
-        100k where cells is the only tractable path: 394 ms/step vs
-        pallas 2912, blocked extrapolates to ~700).
+        "cells" / "pcells" (see LargeNConfig). Default: "blocked" below
+        N=32768 — XLA's fused N^2 sweeps measured 3.6 ms/step at N=10k on
+        v5e, beating every sparse structure there — and "pcells" at
+        N >= 32768 for single-device swarms, where the O(N) fused Pallas
+        sweep wins (59.7 ms/step at N=100k on v5e vs cells 82.3, blocked
+        215.4, and round-1 cells' 394).
       use_pallas / sparse: legacy boolean aliases for ``path`` ("pallas" /
         "binned"). "binned" is the exactness oracle: correct everywhere,
         near-scalar gather speed on TPU (144 ms/step vs 14 ms blocked at
@@ -320,7 +346,7 @@ def rollout_large(
         elif sparse is None and use_pallas is None and (
             mesh is None and n >= 32768
         ):
-            path = "cells"
+            path = "pcells"
         else:
             path = "blocked"
     if path == "binned" and centralized_expert and p.comm_radius < 1.0:
@@ -328,9 +354,9 @@ def rollout_large(
             "binned path needs comm_radius >= 1.0 for the centralized "
             "expert's unit-range potential (use the cells or blocked path)"
         )
-    if path == "cells" and mesh is not None:
+    if path in ("cells", "pcells") and mesh is not None:
         raise ValueError(
-            "cells path is single-device for now — use path='blocked' "
+            f"{path} path is single-device for now — use path='blocked' "
             "for agent-sharded meshes"
         )
     cell_spec = None
@@ -338,6 +364,10 @@ def rollout_large(
         from multiagent_gnn_policies_tpu.ops.cells import make_cell_spec
 
         cell_spec = make_cell_spec(p, cap=cap or 12, margin=cell_margin)
+    elif path == "pcells":
+        from multiagent_gnn_policies_tpu.ops.pallas_cells import make_pcell_spec
+
+        cell_spec = make_pcell_spec(p, cap=cap or 16, margin=cell_margin)
     cfg = LargeNConfig(
         params=p, block=blk, rows=rows,
         axis=axis if mesh is not None else None,

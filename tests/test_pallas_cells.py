@@ -1,0 +1,161 @@
+"""Exactness of the fused Pallas cell sweep (ops/pallas_cells.py) against
+the dense adjacency and the blocked path: pack/unpack round trips, frame
+quantities, adjacency applies, delayed y-stacks, whole rollouts, and the
+overflow certificate. Runs the kernels in interpret mode on the CPU mesh;
+compiled-mode equivalence is exercised on real TPU by bench.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multiagent_gnn_policies_tpu.envs.flocking import (
+    FlockingParams,
+    expert_action,
+    observe,
+)
+from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
+from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+    PCellSpec,
+    apply_adjT,
+    build_pcell_grid,
+    frame,
+    make_pcell_spec,
+    ystack,
+    _pack,
+    _unpack,
+)
+from multiagent_gnn_policies_tpu.ops.blocked import (
+    blocked_frame,
+    delay_carry_init,
+    delay_carry_update,
+    delayed_ystack,
+)
+from multiagent_gnn_policies_tpu.parallel.large_n import rollout_large
+
+P = FlockingParams(n_agents=48, episode_steps=12)
+SPEC = make_pcell_spec(P)
+
+
+def _state(key, n=48, spread=3.0):
+    pos = jax.random.uniform(key, (n, 2), minval=-spread, maxval=spread)
+    vel = jax.random.normal(jax.random.fold_in(key, 1), (n, 2))
+    return jnp.concatenate([pos, vel], axis=-1)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_unpack_roundtrip(seed):
+    x = _state(jax.random.key(seed))
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    assert int(grid.overflow) == 0
+    packed = _pack(grid, SPEC, x)
+    assert packed.shape == (SPEC.cx + 2, 4 * SPEC.cap, SPEC.cy_pad)
+    back = _unpack(grid, SPEC, packed[1:-1])
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # agents per grid row must add up to N when overflow == 0
+    assert int(grid.row_count.sum()) == x.shape[0]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("centralized", [True, False])
+def test_frame_matches_dense(seed, centralized):
+    x = _state(jax.random.key(seed))
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    assert int(grid.overflow) == 0
+    fq = frame(x, grid, SPEC, P, centralized=centralized)
+    obs = observe(x, P)
+    np.testing.assert_allclose(
+        np.asarray(fq.values), np.asarray(obs.values), atol=2e-3
+    )
+    want_expert = expert_action(x, P, centralized=centralized)
+    np.testing.assert_allclose(
+        np.asarray(fq.expert), np.asarray(want_expert), atol=2e-3
+    )
+    ref = blocked_frame(x, P, centralized=centralized, block=48)
+    np.testing.assert_array_equal(
+        np.asarray(fq.degree), np.asarray(ref.degree)
+    )
+    np.testing.assert_allclose(
+        float(fq.min_r2), float(ref.min_r2), rtol=1e-6
+    )
+
+
+def test_overflow_counts_dropped_agents():
+    # cap=8 with 20 coincident-cell agents must overflow by 12, never drop
+    # silently
+    pos = jnp.zeros((20, 2)) + jnp.arange(20)[:, None] * 1e-3
+    spec = PCellSpec(cx=4, cy=4, cap=8, cell=1.0)
+    grid = build_pcell_grid(pos, spec)
+    assert int(grid.overflow) == 12
+    assert int((grid.slot >= 0).sum()) == 8
+
+
+def test_out_of_grid_agents_drop_and_count():
+    pos = jnp.array([[0.0, 0.0], [0.5, 0.5], [100.0, 100.0]])
+    spec = PCellSpec(cx=4, cy=4, cap=8, cell=1.0)
+    grid = build_pcell_grid(pos, spec)
+    assert int(grid.overflow) == 1
+    assert int(grid.slot[2]) == -1
+
+
+@pytest.mark.parametrize("c", [1, 6, 12])
+def test_apply_adjT_matches_dense(c):
+    x = _state(jax.random.key(3))
+    n = x.shape[0]
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    deg = blocked_frame(x, P, block=48).degree
+    cols = jax.random.normal(jax.random.key(4), (n, c))
+    out = apply_adjT(x[:, :2], deg, cols, SPEC, P, grid=grid)
+    diff = x[:, None, :2] - x[None, :, :2]
+    r2 = (diff**2).sum(-1)
+    adj = jnp.where(jnp.eye(n, dtype=bool), 0.0,
+                    (r2 < P.comm_radius**2).astype(x.dtype))
+    want = (adj / jnp.maximum(deg, 1.0)[:, None]).T @ cols
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_ystack_matches_blocked(k):
+    """Delayed y-stack over a short trajectory equals the blocked path's
+    (and hence the dense GSO recursion's — test_blocked.py closes that
+    loop)."""
+    key = jax.random.key(5)
+    x = _state(key)
+    fq = blocked_frame(x, P, block=48)
+    carry = delay_carry_init(fq.values, P.n_agents, k)
+    prev_deg = fq.degree
+    for t in range(k + 2):
+        x2 = x + 0.05 * jax.random.normal(jax.random.fold_in(key, t), x.shape)
+        fq2 = blocked_frame(x2, P, block=48)
+        carry = delay_carry_update(
+            carry, fq2.values, x[:, :2],
+            deg_prev=prev_deg if carry.deg_hist.shape[0] else None,
+        )
+        x, prev_deg = x2, fq2.degree
+
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    got = ystack(carry, grid, x, prev_deg, SPEC, P)
+    want = delayed_ystack(carry, x[:, :2], P, block=48, deg_now=prev_deg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_rollout_large_pcells_matches_blocked():
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(8,), k=3, ind_agg=0)
+    params = init_actor(jax.random.key(0), acfg)
+    p = FlockingParams(n_agents=64, episode_steps=6, max_resets=4)
+    r1, x1, ovf = rollout_large(params, acfg, jax.random.key(3), p,
+                                path="pcells", return_overflow=True)
+    r2, x2 = rollout_large(params, acfg, jax.random.key(3), p,
+                           path="blocked")
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+
+
+def test_rollout_large_pcells_expert_mode():
+    p = FlockingParams(n_agents=64, episode_steps=6, max_resets=4)
+    r1, _ = rollout_large(None, None, jax.random.key(7), p, path="pcells",
+                          expert_mode=True)
+    r2, _ = rollout_large(None, None, jax.random.key(7), p, path="blocked",
+                          expert_mode=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)

@@ -35,7 +35,12 @@ def run_experiment(section, metrics_path=None, state_dir=None,
         respect_platform_env,
     )
 
+    from multiagent_gnn_policies_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
     respect_platform_env()
+    maybe_initialize_distributed()  # env-driven multi-host bootstrap
     enable_persistent_cache()
     from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
     from multiagent_gnn_policies_tpu.utils.metrics import MetricsLogger
