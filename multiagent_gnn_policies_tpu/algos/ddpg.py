@@ -99,6 +99,8 @@ class DDPGConfig:
             actor=actor, critic=critic, env_name=x.env, env=env,
             batch_size=x.batch_size, buffer_size=x.buffer_size,
             updates_per_step=x.updates_per_step, gamma=x.gamma, tau=x.tau,
+            actor_lr=x.ddpg_actor_lr or cls.actor_lr,
+            critic_lr=x.ddpg_critic_lr or cls.critic_lr,
             n_train_episodes=x.n_train_episodes,
             n_test_episodes=x.n_test_episodes, seed=x.seed,
         )

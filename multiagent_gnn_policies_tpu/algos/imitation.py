@@ -405,7 +405,16 @@ class ImitationLearner:
             rnd = self._rnd
             episode = rnd * episodes_per_round
             if cfg.mode == "dagger":
-                self._beta = max(self._beta * cfg.beta_coeff, cfg.beta_floor)
+                # anneal per *episode*, not per round: with n_rollout_envs
+                # parallel episodes a round advances the reference's schedule
+                # (gnn_dagger.py:154) by episodes_per_round steps, so the
+                # expert-mixing curve is identical in episode terms for any
+                # rollout-batch size (exactly beta_coeff**episode until the
+                # 0.5 floor).
+                self._beta = max(
+                    self._beta * cfg.beta_coeff ** episodes_per_round,
+                    cfg.beta_floor,
+                )
             t0 = time.perf_counter()
             self.params, self.opt_state, self.buffer, ep_reward, loss_sum = (
                 self._round(

@@ -68,6 +68,7 @@ def make_cell_spec(
     cap: int = 12,
     margin: float = 1.3,
     strip_rows: int = 8,
+    n_dev: int = 1,
 ) -> CellSpec:
     """Grid sized for ``p``'s initial swarm extent times ``margin``.
 
@@ -78,11 +79,16 @@ def make_cell_spec(
     ≈ 2.1, so cap=12 overflows with negligible probability; the per-step
     ``overflow`` counter certifies it (and the origin tracks the swarm's
     drift each frame, so ``margin`` only covers shape change, which
-    flocking contracts)."""
+    flocking contracts).
+
+    ``n_dev > 1`` rounds the grid so each of ``n_dev`` devices sweeps an
+    equal whole number of strips (the sharded sweep partitions GRID ROWS —
+    see :func:`cells_frame` ``row_range``)."""
     cell = max(p.comm_radius, 1.0)
     extent = 2.0 * math.sqrt(p.arena_r2_per_agent * p.n_agents) * margin
     need = max(3, math.ceil(extent / cell) + 2)
-    cx = ((need + strip_rows - 1) // strip_rows) * strip_rows
+    unit = strip_rows * max(1, n_dev)
+    cx = ((need + unit - 1) // unit) * unit
     return CellSpec(cx=cx, cy=cx, cap=cap, cell=cell,
                     strip=min(strip_rows, cx))
 
@@ -145,6 +151,23 @@ def cell_unpack(grid: CellGrid, packed: jax.Array, fill: float = 0.0) -> jax.Arr
     return jnp.concatenate([packed, pad], axis=0)[grid.slot_of_agent]
 
 
+def cell_unpack_band(
+    grid: CellGrid, packed: jax.Array, start_slot, fill: float = 0.0
+) -> jax.Array:
+    """Band unpack for the sharded sweep: ``packed`` holds only slots
+    ``[start_slot, start_slot + len(packed))``; agents outside the band
+    (and dropped agents — the dump slot is outside every band) get
+    ``fill``. Summing the bands' results over the mesh (``psum``)
+    reassembles the full per-agent table while moving only (N, F) bytes —
+    the slot table itself (~cap/occupancy times larger) never crosses
+    chips."""
+    idx = grid.slot_of_agent - start_slot
+    ok = (idx >= 0) & (idx < packed.shape[0])
+    vals = packed[jnp.where(ok, idx, 0)]
+    shape = (ok.shape[0],) + (1,) * (packed.ndim - 1)
+    return jnp.where(ok.reshape(shape), vals, fill)
+
+
 def _strip_views(spec: CellSpec, gx: jax.Array, gi: jax.Array, s0):
     """Slot data and 3x3-neighborhood data for grid rows [s0, s0+strip).
 
@@ -189,10 +212,23 @@ def cells_frame(
     spec: CellSpec,
     p: FlockingParams,
     centralized: bool = True,
+    row_range=None,
+    axis_name: Optional[str] = None,
 ):
     """Frame quantities (ops/blocked.py:blocked_frame semantics — the
     6-feature observation row-sums, radius degrees, expert controller,
-    min pairwise r2) via the dense cell sweep; per-AGENT outputs."""
+    min pairwise r2) via the dense cell sweep; per-AGENT outputs.
+
+    Args:
+      row_range: ``(start_row, local_rows)`` — sweep only grid rows
+        ``[start_row, start_row + local_rows)`` (the multi-chip partition:
+        the O(N) pack is replicated, each device sweeps its own band of
+        grid rows, band-unpacks to per-agent values, and a ``psum`` over
+        the mesh completes the (N, ·) outputs — every agent lives in
+        exactly one band, so the sum is exact and only O(N·F) bytes ride
+        the interconnect, never the slot table).
+      axis_name: mesh axis to psum over (with ``row_range``).
+    """
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
     n = x.shape[0]
@@ -200,10 +236,13 @@ def cells_frame(
     gx, gi = _pad_grid(spec, packed, grid.agent_of_slot)
     r2cut = p.comm_radius * p.comm_radius
     vsum = jnp.sum(x[:, 2:4], axis=0)
-    nstrips = spec.cx // spec.strip
+    start, local_rows = (
+        (jnp.zeros((), jnp.int32), spec.cx) if row_range is None else row_range
+    )
+    nstrips = local_rows // spec.strip
 
     def body(min_r2, s):
-        xi, ii, xj, ij = _strip_views(spec, gx, gi, s * spec.strip)
+        xi, ii, xj, ij = _strip_views(spec, gx, gi, start + s * spec.strip)
         pair_ok = (
             (ii[..., :, None] >= 0)
             & (ij[..., None, :] >= 0)
@@ -255,11 +294,24 @@ def cells_frame(
     min_r2, (values, degree, expert) = jax.lax.scan(
         body, jnp.asarray(jnp.inf, x.dtype), jnp.arange(nstrips)
     )
-    nslots = spec.cx * spec.cy * spec.cap
+    nloc = local_rows * spec.cy * spec.cap
+    values = values.reshape(nloc, 6)
+    degree = degree.reshape(nloc)
+    expert = expert.reshape(nloc, 2)
+    if axis_name is not None:
+        stacked = jnp.concatenate(
+            [values, degree[:, None], expert], axis=-1
+        )                                            # (nloc, 9)
+        per = cell_unpack_band(grid, stacked, start * spec.cy * spec.cap)
+        per = jax.lax.psum(per, axis_name)
+        return FrameQuantities(
+            values=per[:, :6], degree=per[:, 6], expert=per[:, 7:9],
+            min_r2=jax.lax.pmin(min_r2, axis_name),
+        )
     return FrameQuantities(
-        values=cell_unpack(grid, values.reshape(nslots, 6)),
-        degree=cell_unpack(grid, degree.reshape(nslots)[:, None])[:, 0],
-        expert=cell_unpack(grid, expert.reshape(nslots, 2)),
+        values=cell_unpack(grid, values),
+        degree=cell_unpack(grid, degree[:, None])[:, 0],
+        expert=cell_unpack(grid, expert),
         min_r2=min_r2,
         # min over the 3x3 neighborhoods = global min pairwise r2 whenever
         # the true min is below the cell size (always holds for the reset
@@ -274,6 +326,8 @@ def cells_apply_adjT(
     spec: CellSpec,
     p: FlockingParams,
     grid: Optional[CellGrid] = None,
+    row_range=None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """``out[i] = sum_{j in nbr(i)} cols[j] / deg_j`` — the row-normalized
     adjacency transpose-apply (ops/graph.py:aggregate semantics; the radius
@@ -289,6 +343,8 @@ def cells_apply_adjT(
       cols: (N, C) feature columns of the matching time step.
       grid: the packing for ``pos_src`` if the caller already built it
         (the current frame's); rebuilt here otherwise.
+      row_range / axis_name: grid-row partition + regather axis for the
+        multi-chip sweep (:func:`cells_frame` semantics).
     """
     if grid is None:
         grid = build_cell_grid(pos_src, spec)
@@ -298,10 +354,13 @@ def cells_apply_adjT(
     packed = cell_pack(grid, jnp.concatenate([pos_src, wcols], axis=-1))
     gx, gi = _pad_grid(spec, packed, grid.agent_of_slot)
     r2cut = p.comm_radius * p.comm_radius
-    nstrips = spec.cx // spec.strip
+    start, local_rows = (
+        (jnp.zeros((), jnp.int32), spec.cx) if row_range is None else row_range
+    )
+    nstrips = local_rows // spec.strip
 
     def body(_, s):
-        xi, ii, xj, ij = _strip_views(spec, gx, gi, s * spec.strip)
+        xi, ii, xj, ij = _strip_views(spec, gx, gi, start + s * spec.strip)
         dx = xi[..., :, None, 0] - xj[..., None, :, 0]
         dy = xi[..., :, None, 1] - xj[..., None, :, 1]
         m = (
@@ -315,7 +374,11 @@ def cells_apply_adjT(
         return None, out.reshape(flat, c)
 
     _, out = jax.lax.scan(body, None, jnp.arange(nstrips))
-    return cell_unpack(grid, out.reshape(spec.cx * spec.cy * spec.cap, c))
+    out = out.reshape(local_rows * spec.cy * spec.cap, c)
+    if axis_name is not None:
+        per = cell_unpack_band(grid, out, start * spec.cy * spec.cap)
+        return jax.lax.psum(per, axis_name)
+    return cell_unpack(grid, out)
 
 
 def cells_ystack(
@@ -325,6 +388,8 @@ def cells_ystack(
     deg_now: jax.Array,
     spec: CellSpec,
     p: FlockingParams,
+    row_range=None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """The aggregated delayed stack ``y_k = G_k(t)^T x_{t-k}`` (K, N, F) —
     ops/blocked.py:delayed_ystack with every adjacency transpose-apply on
@@ -347,7 +412,8 @@ def cells_ystack(
                 carry.pos_hist[s - 1], carry.deg_hist[s - 1], None
             )
         cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
-        out = cells_apply_adjT(pos_s, deg_s, cols, spec, p, grid=grid_s)
+        out = cells_apply_adjT(pos_s, deg_s, cols, spec, p, grid=grid_s,
+                               row_range=row_range, axis_name=axis_name)
         v = v.at[s:].set(jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2)))
         y.append(v[s])
     return jnp.stack(y)

@@ -74,15 +74,18 @@ class PCellSpec(NamedTuple):
 
 
 def make_pcell_spec(
-    p: FlockingParams, cap: int = 16, margin: float = 1.3
+    p: FlockingParams, cap: int = 16, margin: float = 1.3, n_dev: int = 1
 ) -> PCellSpec:
     """Grid sized for ``p``'s initial swarm extent times ``margin``
     (ops/cells.py:make_cell_spec sizing argument; ``cap = 16`` puts the
-    Poisson(~2.1) per-cell occupancy overflow probability below 1e-10)."""
+    Poisson(~2.1) per-cell occupancy overflow probability below 1e-10).
+    ``n_dev > 1`` rounds ``cx`` so each device sweeps an equal band of
+    grid rows (see :func:`frame` ``row_range``)."""
     cell = max(p.comm_radius, 1.0)
     extent = 2.0 * math.sqrt(p.arena_r2_per_agent * p.n_agents) * margin
     need = max(3, math.ceil(extent / cell) + 2)
-    return PCellSpec(cx=need, cy=need, cap=cap, cell=cell)
+    return PCellSpec(cx=_ceil_to(need, max(1, n_dev)), cy=need,
+                     cap=cap, cell=cell)
 
 
 class PCellGrid(NamedTuple):
@@ -159,6 +162,25 @@ def _unpack(
     ok = grid.slot[:, None] >= 0
     vals = table[jnp.where(grid.slot >= 0, grid.slot, 0)]
     return jnp.where(ok, vals, fill)
+
+
+def _unpack_band(
+    grid: PCellGrid, spec: PCellSpec, out: jax.Array, start,
+    fill: float = 0.0,
+) -> jax.Array:
+    """Band unpack for the sharded sweep: ``out`` holds only grid rows
+    ``[start, start + local)``; agents outside the band (and dropped
+    agents) get ``fill``. A ``psum`` over the mesh then completes the
+    (N, Q) table — only O(N·Q) bytes cross chips, never the (much larger)
+    kernel-layout slot table."""
+    local, cy, cap = out.shape[0], spec.cy, spec.cap
+    q = out.shape[1] // cap
+    t = out[:, :, 1:1 + cy].reshape(local, q, cap, cy)
+    table = t.transpose(0, 2, 3, 1).reshape(local * cap * cy, q)
+    idx = grid.slot - start * cap * cy
+    ok = (grid.slot >= 0) & (idx >= 0) & (idx < local * cap * cy)
+    vals = table[jnp.where(ok, idx, 0)]
+    return jnp.where(ok[:, None], vals, fill)
 
 
 def _lane_shift(x: jax.Array, dy: int) -> jax.Array:
@@ -298,10 +320,24 @@ def _apply_kernel(
         out_ref[0] = jnp.concatenate(accs, axis=0)
 
 
-def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret):
+def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
+           row_range=None):
     """Shared pallas_call plumbing: one program per grid row; each reads
-    padded rows i-1 / i / i+1 as three overlapping (1, ·, ·) blocks."""
+    padded rows i-1 / i / i+1 as three overlapping (1, ·, ·) blocks.
+
+    ``row_range = (start, local)`` restricts the sweep to grid rows
+    ``[start, start + local)`` — the multi-chip partition: the packed
+    layout is replicated, the kernel runs only on the device's band (the
+    band's halo rows come free from the padded layout), and the caller
+    regathers the per-row outputs."""
     _, ch_cap, cyp = packed.shape
+    if row_range is not None:
+        start, local = row_range
+        packed = jax.lax.dynamic_slice(
+            packed, (start, 0, 0), (local + 2, ch_cap, cyp)
+        )
+        rowcnt = jax.lax.dynamic_slice(rowcnt, (start,), (local,))
+        grid_rows = local
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -331,13 +367,22 @@ def frame(
     p: FlockingParams,
     centralized: bool = True,
     interpret: Optional[bool] = None,
+    row_range=None,
+    axis_name: Optional[str] = None,
 ):
     """Frame quantities (ops/blocked.py:blocked_frame semantics) via the
     fused Pallas cell sweep; per-agent outputs.
 
     The centralized expert's velocity-consensus term
     ``sum_{j != i}(v_i - v_j) = N·v_i - sum_j v_j`` is O(N) and computed
-    here outside the kernel (exactly as ops/cells.py:cells_frame does)."""
+    here outside the kernel (exactly as ops/cells.py:cells_frame does).
+
+    ``row_range = (start_row, local_rows)`` + ``axis_name``: multi-chip
+    mode — each device's kernel sweeps its own band of grid rows,
+    band-unpacks to per-agent values, and a ``psum`` over the mesh
+    completes the (N, 10) table (each agent lives in exactly one band so
+    the sum is exact; only O(N·10) bytes ride the interconnect, never the
+    ~cap/occupancy-times-larger kernel-layout slot table)."""
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
     if interpret is None:
@@ -350,8 +395,15 @@ def frame(
         r2cut=float(p.comm_radius) ** 2, centralized=centralized,
     )
     out = _sweep(kernel, spec.cx, grid.row_count, packed,
-                 10 * spec.cap, interpret)
-    per = _unpack(grid, spec, out)                    # (N, 10)
+                 10 * spec.cap, interpret, row_range=row_range)
+    if axis_name is not None:
+        per = jax.lax.psum(
+            _unpack_band(grid, spec, out, row_range[0]), axis_name
+        )                                             # (N, 10)
+        min_r2 = jnp.min(jnp.where(grid.slot >= 0, per[:, 9], 1e12))
+    else:
+        per = _unpack(grid, spec, out)                # (N, 10)
+        min_r2 = jnp.min(_unpack(grid, spec, out, fill=1e12)[:, 9])
     gxs, gys = per[:, 7], per[:, 8]
     if centralized:
         vsum = jnp.sum(x[:, 2:4], axis=0)
@@ -361,7 +413,6 @@ def frame(
         ux = -(per[:, 0] + gxs)
         uy = -(per[:, 3] + gys)
     expert = jnp.clip(jnp.stack([ux, uy], -1), -10.0, 10.0)
-    min_r2 = jnp.min(_unpack(grid, spec, out, fill=1e12)[:, 9])
     return FrameQuantities(
         values=per[:, :6], degree=per[:, 6], expert=expert, min_r2=min_r2,
     )
@@ -375,11 +426,14 @@ def apply_adjT(
     p: FlockingParams,
     grid: Optional[PCellGrid] = None,
     interpret: Optional[bool] = None,
+    row_range=None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """``out[i] = sum_{j in nbr(i)} cols[j] / deg_j`` over the radius graph
     of ``pos_src`` (ops/cells.py:cells_apply_adjT semantics — the graph is
     symmetric so the transpose-apply is a neighbor sum of pre-scaled
-    columns)."""
+    columns). ``row_range`` / ``axis_name``: multi-chip grid-row partition
+    (:func:`frame` semantics)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if grid is None:
@@ -394,7 +448,11 @@ def apply_adjT(
         _apply_kernel, cap=spec.cap, c=c, r2cut=float(p.comm_radius) ** 2
     )
     out = _sweep(kernel, spec.cx, grid.row_count, packed,
-                 c * spec.cap, interpret)
+                 c * spec.cap, interpret, row_range=row_range)
+    if axis_name is not None:
+        return jax.lax.psum(
+            _unpack_band(grid, spec, out, row_range[0]), axis_name
+        )
     return _unpack(grid, spec, out)
 
 
@@ -406,6 +464,8 @@ def ystack(
     spec: PCellSpec,
     p: FlockingParams,
     grid_hist: Optional[tuple] = None,
+    row_range=None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """The aggregated delayed stack ``y_k = G_k(t)^T x_{t-k}`` (K, N, F) —
     ops/blocked.py:delayed_ystack with every adjacency transpose-apply on
@@ -431,7 +491,8 @@ def ystack(
             pos_s, deg_s = carry.pos_hist[s - 1], carry.deg_hist[s - 1]
             grid_s = grid_hist[s - 1] if grid_hist is not None else None
         cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
-        out = apply_adjT(pos_s, deg_s, cols, spec, p, grid=grid_s)
+        out = apply_adjT(pos_s, deg_s, cols, spec, p, grid=grid_s,
+                         row_range=row_range, axis_name=axis_name)
         v = v.at[s:].set(
             jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2))
         )

@@ -98,6 +98,7 @@ class LargeNConfig(NamedTuple):
     path: str = "blocked"
     cap: int = 32        # per-cell capacity (binned path)
     cell_spec: Optional[tuple] = None  # ops/cells.py:CellSpec (cells path)
+    n_dev: int = 1       # mesh axis size (grid-row partition, cell paths)
 
 
 def _row_range(cfg: LargeNConfig):
@@ -105,6 +106,17 @@ def _row_range(cfg: LargeNConfig):
         return None
     d = jax.lax.axis_index(cfg.axis)
     return (d * cfg.rows, cfg.rows)
+
+
+def _cell_row_range(cfg: LargeNConfig):
+    """Grid-row band of this device for the cell paths: the N^2 agent-row
+    partition does not apply — the sweep is per grid row, so the mesh
+    partitions GRID rows (ops/cells.py:cells_frame ``row_range``)."""
+    if cfg.axis is None:
+        return None, None
+    local = cfg.cell_spec.cx // cfg.n_dev
+    d = jax.lax.axis_index(cfg.axis)
+    return (d * local, local), cfg.axis
 
 
 def _frame(cfg: LargeNConfig, x, centralized):
@@ -124,16 +136,20 @@ def _frame(cfg: LargeNConfig, x, centralized):
             frame as pcells_frame,
         )
 
+        crr, ax = _cell_row_range(cfg)
         nl = build_pcell_grid(x[:, :2], cfg.cell_spec)
-        fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized)
+        fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized,
+                          row_range=crr, axis_name=ax)
     elif cfg.path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import (
             build_cell_grid,
             cells_frame,
         )
 
+        crr, ax = _cell_row_range(cfg)
         nl = build_cell_grid(x[:, :2], cfg.cell_spec)
-        fq = cells_frame(x, nl, cfg.cell_spec, cfg.params, centralized)
+        fq = cells_frame(x, nl, cfg.cell_spec, cfg.params, centralized,
+                         row_range=crr, axis_name=ax)
     elif cfg.path == "binned":
         from multiagent_gnn_policies_tpu.ops.binned import (
             binned_frame,
@@ -178,15 +194,18 @@ def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl,
             ystack as pcells_ystack,
         )
 
+        crr, ax = _cell_row_range(cfg)
         return pcells_ystack(
             carry, nl, x_now, deg_now, cfg.cell_spec, cfg.params,
-            grid_hist=grid_hist,
+            grid_hist=grid_hist, row_range=crr, axis_name=ax,
         )
     if cfg.path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import cells_ystack
 
+        crr, ax = _cell_row_range(cfg)
         return cells_ystack(
-            carry, nl, x_now, deg_now, cfg.cell_spec, cfg.params
+            carry, nl, x_now, deg_now, cfg.cell_spec, cfg.params,
+            row_range=crr, axis_name=ax,
         )
     if cfg.path == "binned":
         from multiagent_gnn_policies_tpu.ops.binned import binned_ystack
@@ -300,6 +319,7 @@ def rollout_large(
     path: Optional[str] = None,
     cell_margin: float = 1.3,
     return_overflow: bool = False,
+    force_n_dev: Optional[int] = None,
 ) -> Tuple[jax.Array, ...]:
     """One greedy episode at scale. Returns ``(rewards (T,), final_x)``
     (plus the sparse paths' max neighbor-structure overflow count when
@@ -308,17 +328,22 @@ def rollout_large(
     Args:
       params/acfg: actor (``ind_agg`` must be 0 — all imitation policies);
         ignored when ``expert_mode``.
-      mesh: optional mesh with an ``axis`` dimension to shard the N^2
-        sweeps; ``None`` = single device.
+      mesh: optional mesh with an ``axis`` dimension to shard the graph
+        sweeps; ``None`` = single device. The blocked/pallas/binned paths
+        partition AGENT rows; the cells/pcells paths partition GRID rows
+        (equal bands of the cell grid per device; each band's per-slot
+        outputs are unpacked to per-agent values locally and a ``psum``
+        over the mesh completes the (N, C) tables — O(N·C) bytes on the
+        interconnect per sweep, never the slot table).
       expert_mode: roll the analytic controller instead of the policy
         (the large-N expert baseline).
       path: graph-pass implementation — "blocked" / "pallas" / "binned" /
         "cells" / "pcells" (see LargeNConfig). Default: "blocked" below
         N=32768 — XLA's fused N^2 sweeps measured 3.6 ms/step at N=10k on
         v5e, beating every sparse structure there — and "pcells" at
-        N >= 32768 for single-device swarms, where the O(N) fused Pallas
-        sweep wins (59.7 ms/step at N=100k on v5e vs cells 82.3, blocked
-        215.4, and round-1 cells' 394).
+        N >= 32768, where the O(N) fused Pallas sweep wins (59.7 ms/step
+        at N=100k on v5e vs cells 82.3, blocked 215.4, and round-1 cells'
+        394).
       use_pallas / sparse: legacy boolean aliases for ``path`` ("pallas" /
         "binned"). "binned" is the exactness oracle: correct everywhere,
         near-scalar gather speed on TPU (144 ms/step vs 14 ms blocked at
@@ -329,23 +354,30 @@ def rollout_large(
       cap: per-cell capacity (default 32 binned / 12 cells).
       cell_margin: cells-path grid extent as a multiple of the swarm's
         initial extent (overflow certifies sufficiency per step).
+      force_n_dev: MEASUREMENT KNOB — partition the sweeps as if the mesh
+        had this many devices while running on the given (smaller) mesh.
+        On a 1-device mesh each step then executes exactly device 0's
+        program of a ``force_n_dev``-chip mesh (band sweep + band unpack +
+        identity collective), which is how per-device scaling is measured
+        on a single real chip (scripts/bench_scaling.py). Rewards and
+        trajectories are NOT valid unless ``force_n_dev == mesh size``.
     """
     if acfg is not None and acfg.ind_agg != 0:
         raise ValueError("large-N path requires ind_agg == 0 actors")
     n = p.n_agents
     n_dev = mesh.shape[axis] if mesh is not None else 1
-    if n % n_dev:
-        raise ValueError(f"n_agents={n} not divisible by mesh axis {n_dev}")
-    rows = n // n_dev
-    blk = block or pick_block(rows)
+    if force_n_dev is not None:
+        if mesh is None:
+            raise ValueError("force_n_dev needs a mesh (1-device is fine)")
+        n_dev = force_n_dev
     if path is None:
         if sparse:
             path = "binned"
         elif use_pallas:
             path = "pallas"
-        elif sparse is None and use_pallas is None and (
-            mesh is None and n >= 32768
-        ):
+        elif sparse is None and use_pallas is None and n >= 32768:
+            # the fused O(N) Pallas cell sweep wins at large N on single
+            # chips AND meshes (grid-row bands per device, psum regather)
             path = "pcells"
         else:
             path = "blocked"
@@ -354,24 +386,27 @@ def rollout_large(
             "binned path needs comm_radius >= 1.0 for the centralized "
             "expert's unit-range potential (use the cells or blocked path)"
         )
-    if path in ("cells", "pcells") and mesh is not None:
-        raise ValueError(
-            f"{path} path is single-device for now — use path='blocked' "
-            "for agent-sharded meshes"
-        )
+    if n % n_dev and path not in ("cells", "pcells"):
+        # agent-row partition needs equal slices; the cell paths partition
+        # grid rows instead, so any N works on any mesh
+        raise ValueError(f"n_agents={n} not divisible by mesh axis {n_dev}")
+    rows = n // n_dev
+    blk = block or pick_block(rows)
     cell_spec = None
     if path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import make_cell_spec
 
-        cell_spec = make_cell_spec(p, cap=cap or 12, margin=cell_margin)
+        cell_spec = make_cell_spec(p, cap=cap or 12, margin=cell_margin,
+                                   n_dev=n_dev)
     elif path == "pcells":
         from multiagent_gnn_policies_tpu.ops.pallas_cells import make_pcell_spec
 
-        cell_spec = make_pcell_spec(p, cap=cap or 16, margin=cell_margin)
+        cell_spec = make_pcell_spec(p, cap=cap or 16, margin=cell_margin,
+                                    n_dev=n_dev)
     cfg = LargeNConfig(
         params=p, block=blk, rows=rows,
         axis=axis if mesh is not None else None,
-        path=path, cap=cap or 32, cell_spec=cell_spec,
+        path=path, cap=cap or 32, cell_spec=cell_spec, n_dev=n_dev,
     )
     out = _jitted_rollout(
         cfg, acfg, p.episode_steps, expert_mode, centralized_expert, mesh

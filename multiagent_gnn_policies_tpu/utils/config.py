@@ -51,6 +51,10 @@ class ExperimentConfig:
     buffer_size: int = 10000
     updates_per_step: int = 200
     actor_lr: float = 5e-5
+    # DDPG-only lrs; None = the reference's hardcoded 1e-5 / 1e-4
+    # (gnn_ddpg.py:135-136). Imitation reads actor_lr instead.
+    ddpg_actor_lr: Optional[float] = None
+    ddpg_critic_lr: Optional[float] = None
     n_train_episodes: int = 400
     beta_coeff: float = 0.993
     test_interval: int = 40
@@ -106,6 +110,8 @@ class ExperimentConfig:
             buffer_size=geti("buffer_size", d.buffer_size),
             updates_per_step=geti("updates_per_step", d.updates_per_step),
             actor_lr=getf("actor_lr", d.actor_lr),
+            ddpg_actor_lr=getf("ddpg_actor_lr", d.ddpg_actor_lr),
+            ddpg_critic_lr=getf("ddpg_critic_lr", d.ddpg_critic_lr),
             n_train_episodes=geti("n_train_episodes", d.n_train_episodes),
             beta_coeff=getf("beta_coeff", d.beta_coeff),
             test_interval=geti("test_interval", d.test_interval),

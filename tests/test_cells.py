@@ -183,14 +183,46 @@ def test_cells_rollout_k1_and_k2():
         np.testing.assert_allclose(r_c, r_blk, rtol=1e-4, atol=1e-5)
 
 
-def test_cells_path_rejects_mesh():
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_cells_rollout_sharded_matches_single(n_dev):
+    """Grid-row-banded mesh sweep == single-device sweep, bit-for-bit up to
+    summation order (the partition only reorders which device computes each
+    slot's sums; every agent lives in exactly one band, so the psum of the
+    band-unpacked per-agent values is exact)."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        pytest.skip(f"needs {n_dev} devices")
+    mesh = Mesh(np.array(devs[:n_dev]), axis_names=("agents",))
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(16,), k=3, ind_agg=0)
+    params = init_actor(jax.random.key(8), acfg)
+    key = jax.random.key(9)
+    # N deliberately NOT divisible by n_dev=4: the cell paths partition
+    # grid rows, not agents, so any swarm size shards
+    p = FlockingParams(n_agents=66, episode_steps=8)
+
+    r1, x1 = rollout_large(params, acfg, key, p, path="cells")
+    r2, x2, ovf = rollout_large(params, acfg, key, p, path="cells",
+                                mesh=mesh, return_overflow=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(r2, r1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x2, x1, rtol=1e-5, atol=1e-5)
+
+
+def test_cells_rollout_sharded_expert_mode():
+    """The rejection-sampled reset (while_loop over sharded frames) and the
+    expert controller agree with the single-device path on a mesh."""
     from jax.sharding import Mesh
 
     devs = jax.devices()
     if len(devs) < 2:
         pytest.skip("needs 2 devices")
     mesh = Mesh(np.array(devs[:2]), axis_names=("agents",))
-    with pytest.raises(ValueError, match="single-device"):
-        rollout_large(None, None, jax.random.key(0),
-                      FlockingParams(n_agents=64), mesh=mesh, path="cells",
-                      expert_mode=True)
+    key = jax.random.key(12)
+    p = FlockingParams(n_agents=64, episode_steps=8)
+    r1, _ = rollout_large(None, None, key, p, path="cells",
+                          expert_mode=True)
+    r2, _ = rollout_large(None, None, key, p, path="cells", mesh=mesh,
+                          expert_mode=True)
+    np.testing.assert_allclose(r2, r1, rtol=1e-5, atol=1e-6)

@@ -159,3 +159,26 @@ def test_rollout_large_pcells_expert_mode():
     r2, _ = rollout_large(None, None, jax.random.key(7), p, path="blocked",
                           expert_mode=True)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
+
+
+def test_rollout_large_pcells_sharded_matches_single():
+    """Grid-row-banded mesh sweep (one kernel launch per device band,
+    band-unpacked outputs psum'd) == single-device pcells rollout."""
+    import pytest
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.asarray(devs[:2]), axis_names=("agents",))
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(8,), k=3, ind_agg=0)
+    params = init_actor(jax.random.key(0), acfg)
+    p = FlockingParams(n_agents=63, episode_steps=6, max_resets=4)
+    r1, x1 = rollout_large(params, acfg, jax.random.key(3), p,
+                           path="pcells")
+    r2, x2, ovf = rollout_large(params, acfg, jax.random.key(3), p,
+                                path="pcells", mesh=mesh,
+                                return_overflow=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-5)
