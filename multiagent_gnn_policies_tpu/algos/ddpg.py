@@ -81,6 +81,12 @@ class DDPGConfig:
     ou_theta: float = 0.15
     ou_sigma: float = 0.2
     ou_scale: float = 1.0
+    # Framework extension (default 1.0 = reference semantics): scales the
+    # reward inside the TD target only. The env's per-step reward is ~-5,
+    # so Q ~ -100s at gamma=0.95 — far outside the range the tiny GNN
+    # critic + GroupNorm can regress with the reference's lrs; scaling the
+    # target (not the logged reward) makes the toy DDPG demo learn.
+    reward_scale: float = 1.0
     seed: int = 8
 
     @classmethod
@@ -101,6 +107,7 @@ class DDPGConfig:
             updates_per_step=x.updates_per_step, gamma=x.gamma, tau=x.tau,
             actor_lr=x.ddpg_actor_lr or cls.actor_lr,
             critic_lr=x.ddpg_critic_lr or cls.critic_lr,
+            reward_scale=x.reward_scale,
             n_train_episodes=x.n_train_episodes,
             n_test_episodes=x.n_test_episodes, seed=x.seed,
         )
@@ -201,7 +208,8 @@ class DDPG:
             ts.critic_target, cfg.critic,
             batch["next_values"], next_action, next_curr_gso,
         )
-        y = batch["reward"][:, None] + cfg.gamma * batch["notdone"][:, None] * q_next
+        y = (cfg.reward_scale * batch["reward"][:, None]
+             + cfg.gamma * batch["notdone"][:, None] * q_next)
         y = jax.lax.stop_gradient(y)
 
         def critic_loss_fn(critic):

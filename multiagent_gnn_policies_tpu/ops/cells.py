@@ -120,8 +120,14 @@ def build_cell_grid(pos: jax.Array, spec: CellSpec) -> CellGrid:
     cid = ijc[:, 0] * spec.cy + ijc[:, 1]
     order = jnp.argsort(cid)                        # stable -> deterministic
     sc = cid[order]
-    rank = (jnp.arange(n, dtype=jnp.int32)
-            - jnp.searchsorted(sc, sc).astype(jnp.int32))  # rank in cell run
+    # rank in cell run = i - first index of the run (cummax over run
+    # starts): equivalent to searchsorted(sc, sc) on the sorted array but
+    # log-depth VPU work instead of a vmapped binary-search while_loop
+    # (ops/pallas_cells.py:build_pcell_grid rationale)
+    i = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, i, 0))
+    rank = i - first
     ok = (rank < spec.cap) & in_grid[order]
     slot = jnp.where(ok, sc * spec.cap + rank, nslots)
     agent_of_slot = (
@@ -138,10 +144,15 @@ def build_cell_grid(pos: jax.Array, spec: CellSpec) -> CellGrid:
 
 
 def cell_pack(grid: CellGrid, arr: jax.Array, fill: float = 0.0) -> jax.Array:
-    """(N, F) agent-major -> (cx·cy·cap, F) slot-major (one N-row scatter)."""
-    nslots = grid.agent_of_slot.shape[0]
-    out = jnp.full((nslots + 1,) + arr.shape[1:], fill, arr.dtype)
-    return out.at[grid.slot_of_agent].set(arr)[:-1]
+    """(N, F) agent-major -> (cx·cy·cap, F) slot-major.
+
+    A slot-major gather of whole rows via ``agent_of_slot`` (empty slots
+    read the fill row) — runs at HBM bandwidth, unlike the scatter form
+    whose zero-init can't fuse (measured ~5 ms per pack at N=100k)."""
+    n = arr.shape[0]
+    pad = jnp.full((1,) + arr.shape[1:], fill, arr.dtype)
+    arr1 = jnp.concatenate([arr, pad], axis=0)
+    return arr1[jnp.where(grid.agent_of_slot >= 0, grid.agent_of_slot, n)]
 
 
 def cell_unpack(grid: CellGrid, packed: jax.Array, fill: float = 0.0) -> jax.Array:

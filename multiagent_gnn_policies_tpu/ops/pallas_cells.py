@@ -94,11 +94,17 @@ class PCellGrid(NamedTuple):
     Attributes:
       slot: (N,) int32 ``(i·cap + b)·cy + j`` (cell-row-major slot id);
         -1 = dropped (cell over ``cap`` or outside the static extent).
+      agent: (cx·cap·cy,) int32 agent index per slot, N = empty — the
+        inverse of ``slot``, kept so packing is a slot-major GATHER (the
+        scatter form measured ~5 ms per pack at N=100k on v5e because the
+        scatter can't fuse with its zero-init; the gather runs at HBM
+        bandwidth).
       row_count: (cx,) int32 agents per grid row (kernel skip flags).
       overflow: () int32 dropped-agent count; 0 => the sweep is exact.
     """
 
     slot: jax.Array
+    agent: jax.Array
     row_count: jax.Array
     overflow: jax.Array
 
@@ -114,8 +120,17 @@ def build_pcell_grid(pos: jax.Array, spec: PCellSpec) -> PCellGrid:
     cid = ijc[:, 0] * spec.cy + ijc[:, 1]
     order = jnp.argsort(cid)                         # stable -> deterministic
     sc = cid[order]
-    rank = (jnp.arange(n, dtype=jnp.int32)
-            - jnp.searchsorted(sc, sc).astype(jnp.int32))
+    # rank within the cell's run = i - index of the run's first element,
+    # via a cummax over run starts. Equivalent to searchsorted(sc, sc) on
+    # the sorted array but log-depth on the VPU instead of a vmapped
+    # binary-search while_loop (which measured ~11 ms/frame at N=100k —
+    # the single hottest op of the whole rollout).
+    i = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]]
+    )
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, i, 0))
+    rank = i - first
     ok = (rank < spec.cap) & in_grid[order]
     slot_sorted = jnp.where(
         ok,
@@ -123,11 +138,15 @@ def build_pcell_grid(pos: jax.Array, spec: PCellSpec) -> PCellGrid:
         -1,
     )
     slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    nslot = spec.cx * spec.cap * spec.cy
+    agent = jnp.full((nslot + 1,), n, jnp.int32).at[
+        jnp.where(slot_sorted >= 0, slot_sorted, nslot)
+    ].set(order)[:-1]
     row_count = jnp.zeros((spec.cx,), jnp.int32).at[
         jnp.where(slot >= 0, slot // (spec.cap * spec.cy), 0)
     ].add(jnp.where(slot >= 0, 1, 0))
     return PCellGrid(
-        slot=slot, row_count=row_count,
+        slot=slot, agent=agent, row_count=row_count,
         overflow=(n - jnp.sum(ok)).astype(jnp.int32),
     )
 
@@ -135,15 +154,16 @@ def build_pcell_grid(pos: jax.Array, spec: PCellSpec) -> PCellGrid:
 def _pack(grid: PCellGrid, spec: PCellSpec, vals: jax.Array) -> jax.Array:
     """(N, C) agent values -> (cx+2, C·cap, cy_pad) kernel layout.
 
-    One ROW-contiguous scatter into a ``(cx·cap·cy, C)`` slot table (rows
-    stay whole vectors — measured ~100x faster on TPU than element-wise
-    scatters into the strided kernel layout), then one dense
-    reshape/transpose/pad running at HBM bandwidth."""
+    One slot-major GATHER of whole (C,) rows through ``grid.agent`` (empty
+    slots read a zero pad row), then one dense reshape/transpose/pad —
+    both run at HBM bandwidth. The earlier scatter form cost ~5 ms per
+    pack at N=100k (the scatter can't fuse with its zero-table init)."""
     n, c = vals.shape
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
-    nslot = cx * cap * cy
-    idx = jnp.where(grid.slot >= 0, grid.slot, nslot)             # dump row
-    table = jnp.zeros((nslot + 1, c), vals.dtype).at[idx].set(vals)[:-1]
+    vals1 = jnp.concatenate(
+        [vals, jnp.zeros((1, c), vals.dtype)], axis=0
+    )
+    table = vals1[grid.agent]                                     # (nslot, C)
     t = table.reshape(cx, cap, cy, c).transpose(0, 3, 1, 2)       # (cx,C,cap,cy)
     t = t.reshape(cx, c * cap, cy)
     return jnp.pad(t, ((1, 1), (0, 0), (1, cyp - cy - 1)))

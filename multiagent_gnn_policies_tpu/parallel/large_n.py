@@ -224,10 +224,23 @@ def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl,
 
 def _reset(cfg: LargeNConfig, key: jax.Array):
     """Rejection-sampled initial state (envs/flocking.py:reset semantics),
-    acceptance computed with blocked sweeps."""
-    from multiagent_gnn_policies_tpu.envs.flocking import _init_candidate
+    acceptance computed with blocked sweeps. In the lattice regime (always
+    at these N) the candidate is valid by construction and the loop is
+    skipped — this removes max_resets full graph passes per episode
+    (measured 7.2 s of an 8.6 s N=100k episode) AND the while_loop from
+    the compiled program."""
+    from multiagent_gnn_policies_tpu.envs.flocking import (
+        _init_candidate,
+        _lattice_regime,
+    )
 
     p = cfg.params
+
+    if _lattice_regime(p):
+        key, sub = jax.random.split(key)
+        x = _init_candidate(sub, p)
+        fq, nl = _frame(cfg, x, centralized=False)
+        return x, fq, nl
 
     def ok(x):
         fq, nl = _frame(cfg, x, centralized=False)

@@ -74,6 +74,7 @@ class ExperimentConfig:
     dt: float = 0.01
     centralized: bool = True
     # TPU-framework extensions
+    reward_scale: float = 1.0    # DDPG TD-target reward scaling
     n_rollout_envs: int = 1
     episode_steps: int = 200
     matmul_precision: str = "default"
@@ -128,6 +129,7 @@ class ExperimentConfig:
             n_states=geti("n_states", d.n_states),
             dt=getf("dt", d.dt),
             centralized=getb("centralized", d.centralized),
+            reward_scale=getf("reward_scale", d.reward_scale),
             n_rollout_envs=geti("n_rollout_envs", d.n_rollout_envs),
             episode_steps=geti("episode_steps", d.episode_steps),
             matmul_precision=gets("matmul_precision", d.matmul_precision),

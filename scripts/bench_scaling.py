@@ -106,7 +106,9 @@ def main(argv=None):
                 params, acfg, jax.random.key(1), p, path=args.path,
                 return_overflow=True, **kw,
             )
-            jax.block_until_ready(r)
+            # host sync via np.asarray — block_until_ready is a no-op on
+            # the axon TPU tunnel (same workaround as bench.py)
+            float(np.asarray(r).sum())
             return ovf
 
         ep_s = _time_rollout(run, args.episodes)

@@ -196,5 +196,37 @@ def test_vmapped_parallel_envs():
     assert obs2.network.shape == (B, 12, 12)
 
 
+def test_lattice_init_separation_and_density():
+    """Large-N init (jittered lattice): min pairwise separation holds by
+    CONSTRUCTION (the rejection sampler can't deliver it at this N — its
+    acceptance is ~exp(-0.033 N)), and the density matches the uniform
+    disc's (mean radius-1 degree ~ 1/arena_r2_per_agent = 6.7)."""
+    import numpy as np
+
+    p = FL.FlockingParams(n_agents=600)
+    assert FL._lattice_regime(p)
+    state, obs = FL.reset(jax.random.key(3), p)
+    x = np.asarray(state.x)
+    diff = x[:, None, :2] - x[None, :, :2]
+    d2 = (diff**2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    assert np.sqrt(d2.min()) >= p.min_separation - 1e-6
+    deg = (d2 < p.comm_radius**2).sum(1)
+    assert 5.0 < deg.mean() < 8.5
+    # radius of the point set matches the uniform disc's
+    r = np.sqrt((x[:, :2] ** 2).sum(-1).max())
+    assert abs(r - np.sqrt(p.arena_r2_per_agent * p.n_agents)) < 2.0
+    # velocities keep the small-N distribution (uniform + shared bias)
+    assert np.abs(x[:, 2:4]).max() <= 2 * p.v_max + 1e-5
+
+
+def test_small_n_reset_unchanged_by_lattice_regime():
+    """N < LATTICE_INIT_N keeps the reference rejection semantics."""
+    p = FL.FlockingParams(n_agents=32)
+    assert not FL._lattice_regime(p)
+    state, _ = FL.reset(jax.random.key(0), p)
+    assert state.x.shape == (32, 4)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
