@@ -237,7 +237,16 @@ class ImitationLearner:
             rollout_episode, env=self.env, acfg=cfg.actor, mode=cfg.mode
         )
         if cfg.n_rollout_envs == 1:
-            samples, ep_reward = rollout(params, ro_key, beta)
+            # Batch-of-one: vmap over a singleton key axis instead of calling
+            # the episode unbatched. Numerics are identical (same key, one
+            # leading unit dim) but the program SHAPE matches the
+            # n_rollout_envs>1 path — the unbatched episode hits a
+            # pathological compile on the remote-TPU service (857 s in
+            # BENCH_r01 vs 4.8 s for the vmapped form of the same body).
+            samples, ep_reward = jax.tree.map(
+                lambda x: x[0],
+                jax.vmap(lambda k: rollout(params, k, beta))(ro_key[None]),
+            )
         else:
             keys = jax.random.split(ro_key, cfg.n_rollout_envs)
             if self.shard_episode is not None:
