@@ -55,6 +55,11 @@ def log(msg: str) -> None:
 def bench_reference_baseline(n_steps: int = 60) -> float:
     import torch
 
+    # Pinned measurement protocol (BENCH comparability across rounds):
+    # single-threaded torch (the round-1/round-2 ratio denominator swung
+    # 533.6 -> 158.0 steps/s purely on thread scheduling), fixed n_steps,
+    # no warmup discard — raw ms/step is logged alongside the ratio.
+    torch.set_num_threads(1)
     torch.manual_seed(0)
     rng = np.random.default_rng(0)
     n, k, dt = N_AGENTS, K, 0.01
@@ -151,7 +156,10 @@ def bench_tpu_rollout():
 
     respect_platform_env()
     enable_persistent_cache()
-    from multiagent_gnn_policies_tpu.algos.imitation import rollout_episode
+    from multiagent_gnn_policies_tpu.algos.imitation import (
+        rollout_batch1,
+        rollout_episode,
+    )
     from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams, make_env
     from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
 
@@ -163,14 +171,12 @@ def bench_tpu_rollout():
 
     @jax.jit
     def one_episode(params, key):
-        # batch-of-one vmap: same numerics as the unbatched call but avoids
-        # the unbatched program's pathological remote compile (857 s in
-        # round 1; the vmapped form of the same body compiled in 4.8 s)
-        _, ep_r = jax.vmap(
+        _, ep_r = rollout_batch1(
             lambda kk: rollout_episode(params, kk, beta, env, acfg,
-                                       mode="dagger")
-        )(key[None])
-        return ep_r[0]
+                                       mode="dagger"),
+            key,
+        )
+        return ep_r
 
     @jax.jit
     def batched_episodes(params, key):
@@ -226,20 +232,32 @@ def bench_large_n() -> None:
         log(f"large-N compile+first episode (N={n}): "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
+        max_ovf = 0
         for e in range(episodes):
             r, _, ovf = rollout_large(params, acfg, jax.random.key(4 + e), p,
                                       return_overflow=True)
-            float(np.asarray(r).sum())        # host sync
+            tot = float(np.asarray(r).sum())  # host sync
+            max_ovf = max(max_ovf, int(ovf))
+            if not np.isfinite(tot):
+                max_ovf = max(max_ovf, 1)     # NaN rollout is never valid
+                log(f"large-N N={n} episode {e}: non-finite reward sum")
         dt = (time.perf_counter() - t0) / episodes
-        log(f"large-N rollout N={n}: {t_steps / dt:.0f} steps/s "
-            f"(~{t_steps / dt * n * 6.7 * K:.2e} aggregated edges/s, "
-            f"overflow={int(ovf)})")
+        if max_ovf:
+            # exactness certificate failed — a throughput number for a
+            # wrong-graph rollout is not a result (round-2 BENCH shipped
+            # "33 steps/s at N=100k" for an all-NaN trajectory)
+            log(f"large-N rollout N={n}: INVALID (overflow={max_ovf}; "
+                f"steps/s withheld)")
+        else:
+            log(f"large-N rollout N={n}: {t_steps / dt:.0f} steps/s "
+                f"(~{t_steps / dt * n * 6.7 * K:.2e} aggregated edges/s, "
+                f"overflow=0)")
 
 
 def main() -> None:
     ref_sps = bench_reference_baseline()
-    log(f"reference-equivalent baseline (torch/numpy host loop): "
-        f"{ref_sps:.1f} steps/s")
+    log(f"reference-equivalent baseline (torch/numpy host loop, "
+        f"1 thread): {ref_sps:.1f} steps/s ({1e3 / ref_sps:.2f} ms/step)")
 
     single, batched = bench_tpu_rollout()
     log(f"fused TPU rollout: single-env {single:.0f} steps/s, "

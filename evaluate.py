@@ -117,15 +117,32 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
         mesh = Mesh(np.array(devs[:mesh_devices]), axis_names=("agents",))
 
     rewards = []
+    max_overflow = 0
     for ep in range(n_episodes or cfg.n_test_episodes):
         key = jax.random.fold_in(jax.random.key(cfg.seed), ep)
-        r, _ = rollout_large(params, acfg, key, p, mesh=mesh,
-                             expert_mode=expert,
-                             centralized_expert=cfg.centralized)
+        r, _, ovf = rollout_large(params, acfg, key, p, mesh=mesh,
+                                  expert_mode=expert,
+                                  centralized_expert=cfg.centralized,
+                                  return_overflow=True)
         total = float(jax.numpy.sum(r))
+        ovf = int(ovf)
+        max_overflow = max(max_overflow, ovf)
         if per_episode:
-            print(total)
+            print(total if ovf == 0 else f"{total}  # OVERFLOW={ovf}")
         rewards.append(total)
+    if max_overflow:
+        # the exactness certificate failed: some step dropped neighbors
+        # (cell over capacity or agent outside the static grid extent) —
+        # the rewards above are NOT the exact-graph dynamics. Never report
+        # them as a silent success (repo contract: no silent truncation,
+        # ops/cells.py docstring / SURVEY §7).
+        print(
+            f"ERROR: neighbor-structure overflow={max_overflow} "
+            f"(max over episodes/steps) — results are invalid; "
+            f"raise --cell-margin/cap or use the blocked path",
+            file=__import__("sys").stderr,
+        )
+        raise SystemExit(3)
     return {"mean": float(np.mean(rewards)), "std": float(np.std(rewards))}
 
 
@@ -161,11 +178,19 @@ def evaluate_section(section, actor_path: str, k=None, per_episode=False,
         for r in rewards:
             print(float(r))
     if traj_path:
-        from multiagent_gnn_policies_tpu.algos.imitation import rollout_trajectory
-
-        xs, rs = rollout_trajectory(
-            params, jax.random.key(cfg.seed), learner.env, icfg.actor
+        from multiagent_gnn_policies_tpu.algos.imitation import (
+            rollout_batch1,
+            rollout_trajectory,
         )
+
+        # batch-of-one vmap (rollout_batch1): the unbatched lax.scan
+        # episode shape hits the remote service's pathological compile
+        xs, rs = jax.jit(
+            lambda pp, kk: rollout_batch1(
+                lambda k: rollout_trajectory(pp, k, learner.env, icfg.actor),
+                kk,
+            )
+        )(params, jax.random.key(cfg.seed))
         np.savez(traj_path, x=np.asarray(xs), reward=np.asarray(rs))
         print(f"# trajectory ({xs.shape[0]} steps, N={xs.shape[1]}) -> {traj_path}")
     return {"mean": float(rewards.mean()), "std": float(rewards.std())}

@@ -96,7 +96,9 @@ class DDPGConfig:
             n_s=x.n_states, n_a=x.n_actions, hidden=hidden, k=x.k,
             ind_agg=len(hidden) // 2,   # aggregate halfway (gnn_ddpg.py:126)
         )
-        critic = CriticConfig(n_s=x.n_states, n_a=x.n_actions, hidden=hidden, k=x.k)
+        critic = CriticConfig(n_s=x.n_states, n_a=x.n_actions, hidden=hidden,
+                              k=x.k, use_groupnorm=x.critic_gn,
+                              input_transform=x.critic_input)
         env = FlockingParams(
             n_agents=x.n_agents, comm_radius=x.comm_radius, dt=x.dt,
             v_max=x.v_max, episode_steps=x.episode_steps,
@@ -140,6 +142,21 @@ class TrainState(NamedTuple):
 def _soft_update(target, source, tau: float):
     """Polyak: target <- (1-tau)*target + tau*source (gnn_ddpg.py:93-102)."""
     return jax.tree.map(lambda t, s: (1.0 - tau) * t + tau * s, target, source)
+
+
+def _policy(params, acfg: ActorConfig, delay_state, delay_gso) -> jax.Array:
+    """The DDPG policy: tanh-bounded actor output.
+
+    The env executes accelerations clipped to [-1, 1] (max_accel), so the
+    policy class must be bounded too: optimizing ``-Q(s, pi(s))`` with the
+    RAW actor output lets the actor walk into out-of-distribution action
+    magnitudes where the critic extrapolates arbitrarily (observed: mean Q
+    turned positive while every true reward is negative, and eval reward
+    oscillated -57 <-> -229 as the critic corrected). The reference's
+    commented-out output scaling (actor.py:78-81) gestures at the same
+    need; tanh keeps gradients alive where a hard clip would zero them.
+    """
+    return jnp.tanh(actor_forward(params, acfg, delay_state, delay_gso))
 
 
 class DDPG:
@@ -201,7 +218,7 @@ class DDPG:
         values = batch["delay_state"][:, 0]           # x_t == delay slot 0
 
         # Targets (gnn_ddpg.py:196-199)
-        next_action = actor_forward(
+        next_action = _policy(
             ts.actor_target, cfg.actor, next_delay_state, next_delay_gso
         )
         q_next = critic_forward(
@@ -217,7 +234,7 @@ class DDPG:
             return jnp.mean((q - y) ** 2)
 
         def actor_loss_fn(actor):
-            pi = actor_forward(actor, cfg.actor, batch["delay_state"], batch["delay_gso"])
+            pi = _policy(actor, cfg.actor, batch["delay_state"], batch["delay_gso"])
             q = critic_forward(ts.critic, cfg.critic, values, pi, curr_gso)
             return -jnp.mean(q)
 
@@ -266,7 +283,7 @@ class DDPG:
             noise_key, up_key = jax.random.split(step_key)
 
             ou = ou_step(ou, noise_key, cfg.ou_theta, cfg.ou_sigma)
-            mu = actor_forward(ts.actor, cfg.actor, gs.delay_state, gs.delay_gso)
+            mu = _policy(ts.actor, cfg.actor, gs.delay_state, gs.delay_gso)
             action = jnp.clip(mu + cfg.ou_scale * ou.x, -1.0, 1.0)
 
             next_env_state, next_obs, r, done = env.step(env_state, action)
@@ -319,8 +336,8 @@ class DDPG:
 
             def body(carry, _):
                 env_state, gs = carry
-                mu = actor_forward(ts.actor, cfg.actor, gs.delay_state, gs.delay_gso)
-                action = jnp.clip(mu, -1.0, 1.0)
+                mu = _policy(ts.actor, cfg.actor, gs.delay_state, gs.delay_gso)
+                action = mu
                 env_state, obs, r, _ = env.step(env_state, action)
                 gs = update_graph_state(gs, obs.values, obs.network)
                 return (env_state, gs), r

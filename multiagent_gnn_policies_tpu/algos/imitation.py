@@ -161,6 +161,20 @@ def rollout_episode(
     return jnp.sum(out)
 
 
+def rollout_batch1(fn, key: jax.Array):
+    """Run single-env episode ``fn(key)`` as a batch-of-one ``vmap``.
+
+    Numerics are identical to the unbatched call (same key, one leading
+    unit dim stripped from every output leaf), but the program SHAPE
+    matches the multi-env path: the unbatched ``lax.scan`` episode body
+    hits a pathological compile on the remote-TPU service (857 s in
+    BENCH_r01 vs 4.8 s for the vmapped form of the same body). Every
+    single-episode call site (training round, bench, trajectory dump)
+    routes through this one helper so the workaround can't drift.
+    """
+    return jax.tree.map(lambda x: x[0], jax.vmap(fn)(key[None]))
+
+
 def rollout_trajectory(params, key: jax.Array, env: FlockingEnv, acfg: ActorConfig):
     """Greedy episode that records raw agent states ``(T, N, 4)`` + rewards.
 
@@ -237,15 +251,8 @@ class ImitationLearner:
             rollout_episode, env=self.env, acfg=cfg.actor, mode=cfg.mode
         )
         if cfg.n_rollout_envs == 1:
-            # Batch-of-one: vmap over a singleton key axis instead of calling
-            # the episode unbatched. Numerics are identical (same key, one
-            # leading unit dim) but the program SHAPE matches the
-            # n_rollout_envs>1 path — the unbatched episode hits a
-            # pathological compile on the remote-TPU service (857 s in
-            # BENCH_r01 vs 4.8 s for the vmapped form of the same body).
-            samples, ep_reward = jax.tree.map(
-                lambda x: x[0],
-                jax.vmap(lambda k: rollout(params, k, beta))(ro_key[None]),
+            samples, ep_reward = rollout_batch1(
+                lambda k: rollout(params, k, beta), ro_key
             )
         else:
             keys = jax.random.split(ro_key, cfg.n_rollout_envs)

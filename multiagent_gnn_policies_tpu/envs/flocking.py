@@ -205,7 +205,15 @@ def _lattice_positions(key: jax.Array, p: FlockingParams) -> jax.Array:
                                    maxval=jit_amp)
     ang = jax.random.uniform(akey, (), maxval=2 * jnp.pi)
     c, s = jnp.cos(ang), jnp.sin(ang)
-    return pts @ jnp.array([[c, -s], [s, c]]).T
+    # Rotate ELEMENTWISE on the VPU — never as a matmul. A (N,2)@(2,2)
+    # dot lowers to the MXU at default precision, which truncates f32
+    # inputs to bf16: at N=100k coordinates reach +-123 where bf16
+    # resolution is ~0.5, so ~3k agent pairs quantized onto BIT-IDENTICAL
+    # positions -> r^2 = 0 -> 1/r^4 = inf -> NaN rollouts (BENCH_r02's
+    # overflow=99984 regression; CPU matmuls are f32, which is why every
+    # CPU test passed). Elementwise mul/add stays f32 on the VPU.
+    x0, y0 = pts[:, 0], pts[:, 1]
+    return jnp.stack([c * x0 - s * y0, s * x0 + c * y0], axis=-1)
 
 
 def _sample_positions(key: jax.Array, p: FlockingParams) -> jax.Array:

@@ -45,6 +45,28 @@ class CriticConfig:
     hidden: Tuple[int, ...]
     k: int
     gso_first: bool = True  # hardcoded True in the reference (critic.py:25)
+    # Framework extension (default True = reference's intended structure).
+    # GroupNorm(groups == channels) normalizes every feature over the agent
+    # axis PER SAMPLE, which erases the feature-magnitude information the
+    # Q target (discounted velocity-disagreement cost) is made of — two
+    # states with the same disagreement pattern but different magnitudes
+    # become indistinguishable to the critic. The reference never actually
+    # ran this critic as shipped (its forward crashes on an unimported
+    # F.relu, learner/critic.py:82), so the GN design is untested there;
+    # ``use_groupnorm=False`` (cfg key ``critic_gn = False``) is what makes
+    # the DDPG demo learn (cfg/ddpg_toy.cfg, RESULTS §DDPG).
+    use_groupnorm: bool = True
+    # Framework extension (default "identity" = reference semantics):
+    # compression applied to the STATE features before the critic (actions
+    # pass through raw — they are already in [-1, 1]). The 1/r^4
+    # observation features spike to ~1e5 near collisions (measured p99=78,
+    # max=1.3e5 on the toy config), so with raw inputs the first linear
+    # layer must scale down by ~1e5 and the +-1 action columns become
+    # invisible: the trained critic's dQ/da was measured UNCORRELATED
+    # (cosine 0.03) with the true differentiable reward gradient.
+    # "asinh" (sign-preserving log compression) raised that to 0.55 and is
+    # what makes DDPG produce useful policy gradients.
+    input_transform: str = "identity"
 
     @property
     def widths(self) -> Tuple[int, ...]:
@@ -70,7 +92,7 @@ def init_critic(key: jax.Array, cfg: CriticConfig, dtype=jnp.float32) -> Params:
             "w": jax.random.uniform(wkey, (w_out, c_in, w_in), dtype, -bound, bound),
             "b": jax.random.uniform(bkey, (w_out,), dtype, -bound, bound),
         }
-        if i < cfg.n_layers - 1:
+        if i < cfg.n_layers - 1 and cfg.use_groupnorm:
             layer["gn_scale"] = jnp.ones((w_out,), dtype)
             layer["gn_bias"] = jnp.zeros((w_out,), dtype)
         params.append(layer)
@@ -94,6 +116,10 @@ def critic_forward(
     Returns:
       ``(..., N)`` Q values.
     """
+    if cfg.input_transform == "asinh":
+        states = jnp.arcsinh(states)
+    elif cfg.input_transform != "identity":
+        raise ValueError(f"unknown critic input_transform {cfg.input_transform!r}")
     # (..., 1, N, W0) with a singleton channel axis, as in critic.py:70.
     x = jnp.concatenate([states, actions], axis=-1)[..., None, :, :]
     for i, layer in enumerate(params):
@@ -108,11 +134,12 @@ def critic_forward(
             "gcf,...cnf->...ng", layer["w"], x, preferred_element_type=x.dtype
         ) + layer["b"]
         if i < cfg.n_layers - 1:
-            # GroupNorm(groups == channels) over the agent axis + relu.
-            mean = jnp.mean(x, axis=-2, keepdims=True)
-            var = jnp.var(x, axis=-2, keepdims=True)
-            x = (x - mean) * jax.lax.rsqrt(var + _GROUPNORM_EPS)
-            x = x * layer["gn_scale"] + layer["gn_bias"]
+            if cfg.use_groupnorm:
+                # GroupNorm(groups == channels) over the agent axis + relu.
+                mean = jnp.mean(x, axis=-2, keepdims=True)
+                var = jnp.var(x, axis=-2, keepdims=True)
+                x = (x - mean) * jax.lax.rsqrt(var + _GROUPNORM_EPS)
+                x = x * layer["gn_scale"] + layer["gn_bias"]
             x = jax.nn.relu(x)
         # Re-insert the singleton channel axis for the next GSO application
         # (the reference's view() at critic.py:84).

@@ -75,6 +75,8 @@ class ExperimentConfig:
     centralized: bool = True
     # TPU-framework extensions
     reward_scale: float = 1.0    # DDPG TD-target reward scaling
+    critic_gn: bool = True       # DDPG critic GroupNorm (models/critic.py)
+    critic_input: str = "identity"  # DDPG critic input transform
     n_rollout_envs: int = 1
     episode_steps: int = 200
     matmul_precision: str = "default"
@@ -130,6 +132,8 @@ class ExperimentConfig:
             dt=getf("dt", d.dt),
             centralized=getb("centralized", d.centralized),
             reward_scale=getf("reward_scale", d.reward_scale),
+            critic_gn=getb("critic_gn", d.critic_gn),
+            critic_input=gets("critic_input", d.critic_input),
             n_rollout_envs=geti("n_rollout_envs", d.n_rollout_envs),
             episode_steps=geti("episode_steps", d.episode_steps),
             matmul_precision=gets("matmul_precision", d.matmul_precision),

@@ -1,5 +1,7 @@
 """Smoke + semantics tests for the fused DDPG learner (tiny configs)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -85,6 +87,30 @@ def test_ddpg_target_networks_track():
     # with tau=0.5 targets should be close to the online nets
     online = np.asarray(learner.state.actor[0]["w"])
     assert np.abs(after - online).max() < 1e-2
+
+
+def test_ddpg_toy_config_learns():
+    """Regression gate for DDPG capability (VERDICT r2 item 5): a
+    shortened cfg/ddpg_toy.cfg run must improve over the untrained
+    policy. Deterministic on CPU (fixed seeds), so the margin is a
+    numerics-change tripwire, not a statistical bet. The full committed
+    curve: results/ddpg_toy_metrics.jsonl (-30 untrained -> -17.6)."""
+    from multiagent_gnn_policies_tpu.utils.config import (
+        ExperimentConfig,
+        load_ini,
+    )
+
+    cp = load_ini("cfg/ddpg_toy.cfg")
+    x = ExperimentConfig.from_section(cp["test"])
+    cfg = DDPGConfig.from_experiment(x)
+    cfg = dataclasses.replace(cfg, n_train_episodes=150)
+    learner = DDPG(cfg)
+    untrained_mean, _ = learner.evaluate()
+    stats = learner.train()
+    assert stats["mean"] > untrained_mean + 4.0, (
+        f"DDPG stopped learning: untrained {untrained_mean:.1f}, "
+        f"trained {stats['mean']:.1f}"
+    )
 
 
 if __name__ == "__main__":
