@@ -222,7 +222,7 @@ def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl,
     )
 
 
-def _reset(cfg: LargeNConfig, key: jax.Array):
+def _reset(cfg: LargeNConfig, key: jax.Array, centralized: bool = False):
     """Rejection-sampled initial state (envs/flocking.py:reset semantics),
     acceptance computed with blocked sweeps. In the lattice regime (always
     at these N) the candidate is valid by construction and the loop is
@@ -239,11 +239,15 @@ def _reset(cfg: LargeNConfig, key: jax.Array):
     if _lattice_regime(p):
         key, sub = jax.random.split(key)
         x = _init_candidate(sub, p)
-        fq, nl = _frame(cfg, x, centralized=False)
+        fq, nl = _frame(cfg, x, centralized=centralized)
         return x, fq, nl
 
     def ok(x):
-        fq, nl = _frame(cfg, x, centralized=False)
+        # degree/min_r2 (the acceptance quantities) are identical in both
+        # expert modes; ``centralized`` only changes fq.expert, which the
+        # first rollout step consumes — so it must match the episode's
+        # expert or step 0 uses the wrong controller (dense-path parity).
+        fq, nl = _frame(cfg, x, centralized=centralized)
         return (
             (fq.min_r2 >= p.min_separation**2)
             & (jnp.min(fq.degree) >= p.min_degree)
@@ -280,7 +284,7 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
     the dense paths; SURVEY §7 "no silent truncation")."""
     p = cfg.params
     reset_key, noise_key = jax.random.split(key)
-    x, fq, nl = _reset(cfg, reset_key)
+    x, fq, nl = _reset(cfg, reset_key, centralized=centralized)
     k = acfg.k if acfg else 1
     carry = delay_carry_init(fq.values, p.n_agents, k)
     sparse = cfg.path in ("binned", "cells", "pcells")

@@ -54,8 +54,20 @@ def check(name: str, ok: bool, detail: str = "") -> None:
 
 
 def frame_adjT_checks(n: int, rtol: float) -> None:
-    """Compiled frame + apply_adjT parity vs the blocked oracle at size n."""
-    from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams, reset
+    """Compiled frame + apply_adjT parity vs the blocked oracle at size n.
+
+    Runs under ``jax.default_matmul_precision('highest')``: the gate
+    certifies ALGORITHMIC equivalence of the compiled lowerings. At the
+    default (bf16-input MXU) precision the paths legitimately differ —
+    blocked/cells put their products on the MXU while the pcells kernel
+    is pure-VPU f32 — by up to ~2e-1 relative on the cancelling 1/r^4
+    sums; production-precision health is covered by the rollout checks
+    (finiteness + overflow + cross-path reward parity) instead.
+    """
+    from multiagent_gnn_policies_tpu.envs.flocking import (
+        FlockingParams,
+        _init_candidate,
+    )
     from multiagent_gnn_policies_tpu.ops import cells as cc
     from multiagent_gnn_policies_tpu.ops import pallas_cells as pc
     from multiagent_gnn_policies_tpu.ops.blocked import (
@@ -64,13 +76,17 @@ def frame_adjT_checks(n: int, rtol: float) -> None:
     )
 
     p = FlockingParams(n_agents=n)
-    state, _ = jax.jit(reset, static_argnums=1)(jax.random.PRNGKey(0), p)
-    x = state.x
-    ref = jax.jit(blocked_frame, static_argnums=(1, 2, 3))(x, p, True, 128)
+    # positions only — the dense reset()'s (N, N, 4) observe is unbuildable
+    # at N=100k (160 GB); the large-N paths never materialize it either
+    from multiagent_gnn_policies_tpu.parallel.large_n import pick_block
+
+    x = jax.jit(_init_candidate, static_argnums=1)(jax.random.key(0), p)
+    blk = pick_block(n)
+    ref = jax.jit(blocked_frame, static_argnums=(1, 2, 3))(x, p, True, blk)
     cols = jnp.concatenate([ref.values, ref.expert], axis=-1)  # (N, 8)
-    ref_adjT = jax.jit(blocked_apply_adjT, static_argnums=(2, 3))(
-        x[:, :2], cols, p, 128
-    )
+    ref_adjT = jax.jit(
+        lambda pos, c, d: blocked_apply_adjT(pos, c, p, blk, deg=d)
+    )(x[:, :2], cols, ref.degree)
 
     # pcells
     spec = pc.make_pcell_spec(p)
@@ -83,7 +99,7 @@ def frame_adjT_checks(n: int, rtol: float) -> None:
     out_adjT = jax.jit(pc.apply_adjT, static_argnums=(3, 4, 6))(
         x[:, :2], ref.degree, cols, spec, p, grid, False
     )
-    _compare(f"pcells.frame N={n}", fq, ref, rtol)
+    _compare(f"pcells.frame N={n}", fq, ref, rtol, n=n)
     _compare_arr(f"pcells.apply_adjT N={n}", out_adjT, ref_adjT, rtol)
 
     # cells
@@ -97,11 +113,11 @@ def frame_adjT_checks(n: int, rtol: float) -> None:
     cadjT = jax.jit(cc.cells_apply_adjT, static_argnums=(3, 4))(
         x[:, :2], ref.degree, cols, cspec, p, cgrid
     )
-    _compare(f"cells.frame N={n}", cfq, ref, rtol)
+    _compare(f"cells.frame N={n}", cfq, ref, rtol, n=n)
     _compare_arr(f"cells.apply_adjT N={n}", cadjT, ref_adjT, rtol)
 
 
-def _compare(name: str, got, ref, rtol: float) -> None:
+def _compare(name: str, got, ref, rtol: float, n: int = 0) -> None:
     for field in ("values", "degree", "expert", "min_r2"):
         a, b = np.asarray(getattr(got, field)), np.asarray(getattr(ref, field))
         finite = bool(np.all(np.isfinite(a)))
@@ -109,9 +125,17 @@ def _compare(name: str, got, ref, rtol: float) -> None:
             check(f"{name}.{field}", False,
                   f"{np.sum(~np.isfinite(a))} non-finite entries")
             continue
+        tol = rtol
+        if field == "expert" and n:
+            # centralized velocity consensus: the cell paths use the O(N)
+            # identity n*v_i - sum_j v_j while blocked sums directly —
+            # both carry O(N * eps * |v|) f32 error (catastrophic
+            # cancellation at N*bias ~ 1e5), so equivalence is only
+            # defined up to that bound (measured 2.8e-3 at N=12288)
+            tol = max(rtol, 6e-7 * n)
         scale = np.maximum(np.abs(b), 1.0)
         err = float(np.max(np.abs(a - b) / scale))
-        check(f"{name}.{field}", err <= rtol, f"rel_err={err:.2e}")
+        check(f"{name}.{field}", err <= tol, f"rel_err={err:.2e}")
 
 
 def _compare_arr(name: str, a, b, rtol: float) -> None:
@@ -159,7 +183,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--quick", action="store_true",
                     help="skip the N=100k checks (~minutes of compile)")
-    ap.add_argument("--rtol", type=float, default=2e-4,
+    ap.add_argument("--rtol", type=float, default=5e-4,
                     help="relative tolerance for frame/adjT parity "
                          "(f32 sum-order differences)")
     args = ap.parse_args()
@@ -173,7 +197,8 @@ def main() -> None:
     sizes = [2048, 12288] + ([] if args.quick else [100_000])
     for n in sizes:
         t0 = time.perf_counter()
-        frame_adjT_checks(n, args.rtol)
+        with jax.default_matmul_precision("highest"):
+            frame_adjT_checks(n, args.rtol)
         print(f"  (N={n} frame/adjT block: {time.perf_counter()-t0:.1f}s)",
               flush=True)
 
