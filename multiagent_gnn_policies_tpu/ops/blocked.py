@@ -154,7 +154,6 @@ def blocked_apply_adjT(
     block: int = 128,
     row_range: Optional[Tuple[jax.Array, int]] = None,
     deg: Optional[jax.Array] = None,
-    use_pallas: bool = False,
 ) -> jax.Array:
     """``out[j] = sum_i adj[i,j] / deg_i · cols[i]`` without storing adj.
 
@@ -170,32 +169,12 @@ def blocked_apply_adjT(
         across devices to complete.
       deg: optional precomputed (N,) radius degrees of the SOURCE rows'
         graph (the rollout carries them); recomputed here when ``None``.
-      use_pallas: route the sweep through the fused VMEM kernel
-        (ops/pallas_kernels.py) — requires ``deg``.
 
     Returns:
       (N, C) aggregated columns.
     """
     n = pos.shape[0]
     start, length = (jnp.zeros((), jnp.int32), n) if row_range is None else row_range
-    if use_pallas:
-        if deg is None:
-            raise ValueError("use_pallas requires precomputed degrees")
-        from multiagent_gnn_policies_tpu.ops.pallas_kernels import (
-            radius_adjT_matmul,
-        )
-
-        pos_rows = jax.lax.dynamic_slice(pos, (start, 0), (length, 2))
-        deg_rows = jax.lax.dynamic_slice(
-            jnp.maximum(deg, 1.0), (start,), (length,)
-        )
-        cols_rows = jax.lax.dynamic_slice(
-            cols, (start, 0), (length, cols.shape[1])
-        )
-        return radius_adjT_matmul(
-            pos_rows, pos, cols_rows / deg_rows[:, None],
-            p.comm_radius, start,
-        )
     if length % block:
         raise ValueError(f"row count {length} not divisible by block {block}")
     x = jnp.concatenate([pos, jnp.zeros_like(pos)], axis=-1)  # (N, 4) shim
@@ -257,7 +236,6 @@ def delayed_ystack(
     row_range: Optional[Tuple[jax.Array, int]] = None,
     axis_name: Optional[str] = None,
     deg_now: Optional[jax.Array] = None,
-    use_pallas: bool = False,
 ) -> jax.Array:
     """The aggregated delayed stack ``y_k = G_k(t)^T x_{t-k}`` (K, N, F).
 
@@ -286,8 +264,7 @@ def delayed_ystack(
         deg_s = deg_now if s == 0 else carry.deg_hist[s - 1]
         cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
         out = blocked_apply_adjT(
-            pos_s, cols, p, block, row_range,
-            deg=deg_s, use_pallas=use_pallas,
+            pos_s, cols, p, block, row_range, deg=deg_s,
         )
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)

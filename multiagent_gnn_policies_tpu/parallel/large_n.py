@@ -83,7 +83,6 @@ class LargeNConfig(NamedTuple):
 
     ``path`` selects the graph-pass implementation:
       * ``"blocked"`` — O(N^2) row-blocked XLA sweeps (ops/blocked.py);
-      * ``"pallas"``  — O(N^2) fused VMEM kernels (ops/pallas_kernels.py);
       * ``"binned"``  — O(N·cap) spatial-hash gathers (ops/binned.py;
         exact oracle, slow on TPU);
       * ``"cells"``   — O(N) regular-layout cell grid (ops/cells.py);
@@ -160,21 +159,9 @@ def _frame(cfg: LargeNConfig, x, centralized):
         # each device then gathers only its destination-row slice
         nl = build_neighbor_list(x[:, :2], cfg.params.comm_radius, cfg.cap)
         fq = binned_frame(x, nl, cfg.params, centralized, row_range=rr)
-    elif cfg.path == "pallas":
-        from multiagent_gnn_policies_tpu.ops.pallas_kernels import frame_rowsums
-
-        start = jnp.zeros((), jnp.int32) if rr is None else rr[0]
-        rows = jax.lax.dynamic_slice(x, (start, 0), (cfg.rows, 4))
-        out = frame_rowsums(rows, x, cfg.params.comm_radius, start, centralized)
-        fq = FrameQuantities(
-            values=out[:, :6],
-            degree=out[:, 8],
-            expert=jnp.clip(out[:, 6:8], -10.0, 10.0),
-            min_r2=jnp.min(out[:, 9]),
-        )
     else:
         fq = blocked_frame(x, cfg.params, centralized, cfg.block, row_range=rr)
-    if cfg.path in ("blocked", "pallas"):
+    if cfg.path == "blocked":
         nl = jnp.zeros((), jnp.int32)  # fixed-pytree dummy for the scan carry
     if cfg.axis is None or cfg.path in ("cells", "pcells"):  # full rows
         return fq, nl
@@ -218,7 +205,7 @@ def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl,
         carry, x_now[:, :2], cfg.params, cfg.block,
         row_range=_row_range(cfg),
         axis_name=cfg.axis,
-        deg_now=deg_now, use_pallas=cfg.path == "pallas",
+        deg_now=deg_now,
     )
 
 
@@ -330,7 +317,6 @@ def rollout_large(
     block: Optional[int] = None,
     expert_mode: bool = False,
     centralized_expert: bool = True,
-    use_pallas: Optional[bool] = None,
     sparse: Optional[bool] = None,
     cap: Optional[int] = None,
     path: Optional[str] = None,
@@ -346,7 +332,7 @@ def rollout_large(
       params/acfg: actor (``ind_agg`` must be 0 — all imitation policies);
         ignored when ``expert_mode``.
       mesh: optional mesh with an ``axis`` dimension to shard the graph
-        sweeps; ``None`` = single device. The blocked/pallas/binned paths
+        sweeps; ``None`` = single device. The blocked/binned paths
         partition AGENT rows; the cells/pcells paths partition GRID rows
         (equal bands of the cell grid per device; each band's per-slot
         outputs are unpacked to per-agent values locally and a ``psum``
@@ -354,20 +340,23 @@ def rollout_large(
         interconnect per sweep, never the slot table).
       expert_mode: roll the analytic controller instead of the policy
         (the large-N expert baseline).
-      path: graph-pass implementation — "blocked" / "pallas" / "binned" /
-        "cells" / "pcells" (see LargeNConfig). Default: "blocked" below
-        N=32768 — XLA's fused N^2 sweeps measured 3.6 ms/step at N=10k on
-        v5e, beating every sparse structure there — and "pcells" at
-        N >= 32768, where the O(N) fused Pallas sweep wins (59.7 ms/step
-        at N=100k on v5e vs cells 82.3, blocked 215.4, and round-1 cells'
-        394).
-      use_pallas / sparse: legacy boolean aliases for ``path`` ("pallas" /
-        "binned"). "binned" is the exactness oracle: correct everywhere,
-        near-scalar gather speed on TPU (144 ms/step vs 14 ms blocked at
-        N=10k) — prefer "cells" for performance. "binned" with a
-        centralized expert requires ``comm_radius >= 1`` (the unit-range
-        potential must fit in its 3x3 cell neighborhood; "cells" sizes
-        its cells as max(comm_radius, 1) so it has no such restriction).
+      path: graph-pass implementation — "blocked" / "binned" / "cells" /
+        "pcells" (see LargeNConfig). Default: "blocked" below N=32768 —
+        XLA's fused N^2 sweeps measured 3.61 ms/step at N=10k on v5e,
+        beating every sparse structure there — and "pcells" at
+        N >= 32768, where the O(N) fused Pallas sweep wins (11.0 ms at
+        N=32k, 39.7 ms at N=100k vs cells 47.7 and blocked 203;
+        results/bench_large_n_r3.log). The O(N^2) Pallas VMEM path
+        ("pallas") was retired after the round-3 shootout measured it
+        dominated at every N (5.25 ms at 10k vs blocked 3.61; 42.8 ms at
+        32k vs pcells 11.0) — see git history for ops/pallas_kernels.py.
+      sparse: legacy boolean alias for ``path="binned"`` — the exactness
+        oracle: correct everywhere, near-scalar gather speed on TPU
+        (144 ms/step vs 14 ms blocked at N=10k) — prefer "cells" for
+        performance. "binned" with a centralized expert requires
+        ``comm_radius >= 1`` (the unit-range potential must fit in its
+        3x3 cell neighborhood; "cells" sizes its cells as
+        max(comm_radius, 1) so it has no such restriction).
       cap: per-cell capacity (default 32 binned / 12 cells).
       cell_margin: cells-path grid extent as a multiple of the swarm's
         initial extent (overflow certifies sufficiency per step).
@@ -390,9 +379,7 @@ def rollout_large(
     if path is None:
         if sparse:
             path = "binned"
-        elif use_pallas:
-            path = "pallas"
-        elif sparse is None and use_pallas is None and n >= 32768:
+        elif sparse is None and n >= 32768:
             # the fused O(N) Pallas cell sweep wins at large N on single
             # chips AND meshes (grid-row bands per device, psum regather)
             path = "pcells"
