@@ -162,17 +162,22 @@ def rollout_episode(
 
 
 def rollout_batch1(fn, key: jax.Array):
-    """Run single-env episode ``fn(key)`` as a batch-of-one ``vmap``.
+    """Run single-env episode ``fn(key)`` vmapped over TWO copies of the
+    same key, returning lane 0 — numerically the single-env episode.
 
-    Numerics are identical to the unbatched call (same key, one leading
-    unit dim stripped from every output leaf), but the program SHAPE
-    matches the multi-env path: the unbatched ``lax.scan`` episode body
-    hits a pathological compile on the remote-TPU service (857 s in
-    BENCH_r01 vs 4.8 s for the vmapped form of the same body). Every
-    single-episode call site (training round, bench, trajectory dump)
-    routes through this one helper so the workaround can't drift.
+    Why batch-of-TWO: the unbatched episode program hits a pathological
+    XLA compile on this TPU stack, and a batch of ONE does not dodge it —
+    XLA's degenerate-dimension folding strips the unit batch axis and
+    recovers the same slow program. Measured (same program, cache-busted):
+    B=1 compiles in 48-390 s across sessions, B=2/8/128 all in ~3.5 s.
+    Duplicating the key costs one redundant episode of compute on the
+    telemetry/bench-only single-env paths and keeps lane 0 bit-identical
+    to the logical single-env rollout (same key, same per-lane program).
+    Every single-episode call site (training round, bench, trajectory
+    dump) routes through this helper so the workaround can't drift.
     """
-    return jax.tree.map(lambda x: x[0], jax.vmap(fn)(key[None]))
+    keys = jax.tree.map(lambda k: jnp.stack([k, k]), key)
+    return jax.tree.map(lambda x: x[0], jax.vmap(fn)(keys))
 
 
 def rollout_trajectory(params, key: jax.Array, env: FlockingEnv, acfg: ActorConfig):
