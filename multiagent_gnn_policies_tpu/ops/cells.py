@@ -217,6 +217,35 @@ def _pad_grid(spec: CellSpec, packed: jax.Array, ids: jax.Array):
     return gx, gi
 
 
+def _pad_grid_band(
+    spec: CellSpec, grid: CellGrid, vals: jax.Array, row_range=None
+):
+    """Banded grid build: gather + pad ONLY grid rows
+    ``[start-1, start+local+1)`` of the slot table (the rows a device's
+    strips read, halo included; rows outside the global grid come out
+    empty). The full-grid pack was replicated per device and measured as
+    the dominant share of the multi-chip step (ops/pallas_cells.py:_pack
+    rationale); ``None`` = full grid, identical to _pad_grid's output.
+
+    Returns ``(gx (local+2, cy+2, cap, F), gi (local+2, cy+2, cap))``;
+    strip ``s`` of the band starts at padded-row ``s * spec.strip``."""
+    n, f = vals.shape
+    cx, cy, cap = spec.cx, spec.cy, spec.cap
+    start, local = (0, cx) if row_range is None else row_range
+    agent3 = grid.agent_of_slot.reshape(cx, cy, cap)
+    rows = start - 1 + jnp.arange(local + 2)
+    in_g = (rows >= 0) & (rows < cx)
+    a = jnp.take(agent3, jnp.clip(rows, 0, cx - 1), axis=0)
+    a = jnp.where(in_g[:, None, None], a, -1)          # (local+2, cy, cap)
+    vals1 = jnp.concatenate([vals, jnp.zeros((1, f), vals.dtype)], axis=0)
+    gx = jnp.where(
+        (a >= 0)[..., None], vals1[jnp.where(a >= 0, a, n)], 0.0
+    )
+    gx = jnp.pad(gx, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    gi = jnp.pad(a, ((0, 0), (1, 1), (0, 0)), constant_values=-1)
+    return gx, gi
+
+
 def cells_frame(
     x: jax.Array,
     grid: CellGrid,
@@ -243,17 +272,16 @@ def cells_frame(
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
     n = x.shape[0]
-    packed = cell_pack(grid, x)
-    gx, gi = _pad_grid(spec, packed, grid.agent_of_slot)
-    r2cut = p.comm_radius * p.comm_radius
-    vsum = jnp.sum(x[:, 2:4], axis=0)
     start, local_rows = (
         (jnp.zeros((), jnp.int32), spec.cx) if row_range is None else row_range
     )
+    gx, gi = _pad_grid_band(spec, grid, x, row_range)
+    r2cut = p.comm_radius * p.comm_radius
+    vsum = jnp.sum(x[:, 2:4], axis=0)
     nstrips = local_rows // spec.strip
 
     def body(min_r2, s):
-        xi, ii, xj, ij = _strip_views(spec, gx, gi, start + s * spec.strip)
+        xi, ii, xj, ij = _strip_views(spec, gx, gi, s * spec.strip)
         pair_ok = (
             (ii[..., :, None] >= 0)
             & (ij[..., None, :] >= 0)
@@ -362,16 +390,17 @@ def cells_apply_adjT(
     c = cols.shape[-1]
     # weight channel: cols_j / max(deg_j, 1) packed alongside positions
     wcols = cols / jnp.maximum(deg_src, 1.0)[:, None]
-    packed = cell_pack(grid, jnp.concatenate([pos_src, wcols], axis=-1))
-    gx, gi = _pad_grid(spec, packed, grid.agent_of_slot)
-    r2cut = p.comm_radius * p.comm_radius
     start, local_rows = (
         (jnp.zeros((), jnp.int32), spec.cx) if row_range is None else row_range
     )
+    gx, gi = _pad_grid_band(
+        spec, grid, jnp.concatenate([pos_src, wcols], axis=-1), row_range
+    )
+    r2cut = p.comm_radius * p.comm_radius
     nstrips = local_rows // spec.strip
 
     def body(_, s):
-        xi, ii, xj, ij = _strip_views(spec, gx, gi, start + s * spec.strip)
+        xi, ii, xj, ij = _strip_views(spec, gx, gi, s * spec.strip)
         dx = xi[..., :, None, 0] - xj[..., None, :, 0]
         dy = xi[..., :, None, 1] - xj[..., None, :, 1]
         m = (

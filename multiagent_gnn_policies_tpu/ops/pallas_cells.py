@@ -151,22 +151,40 @@ def build_pcell_grid(pos: jax.Array, spec: PCellSpec) -> PCellGrid:
     )
 
 
-def _pack(grid: PCellGrid, spec: PCellSpec, vals: jax.Array) -> jax.Array:
-    """(N, C) agent values -> (cx+2, C·cap, cy_pad) kernel layout.
+def _pack(
+    grid: PCellGrid, spec: PCellSpec, vals: jax.Array, row_range=None
+) -> jax.Array:
+    """(N, C) agent values -> (local+2, C·cap, cy_pad) kernel layout.
 
     One slot-major GATHER of whole (C,) rows through ``grid.agent`` (empty
     slots read a zero pad row), then one dense reshape/transpose/pad —
     both run at HBM bandwidth. The earlier scatter form cost ~5 ms per
-    pack at N=100k (the scatter can't fuse with its zero-table init)."""
+    pack at N=100k (the scatter can't fuse with its zero-table init).
+
+    ``row_range = (start, local)`` gathers ONLY grid rows
+    ``[start-1, start+local+1)`` (the band a device's sweep reads,
+    including its halo rows; rows outside the global grid come out as
+    the zero pad). This is what makes the multi-chip sweep's per-device
+    work actually shrink with the mesh: the pack chain (gather + layout
+    transpose) measured ~14 ms/step of the 39.7 ms N=100k step — fully
+    replicated per device before this, flooring band-mode scaling at
+    64% efficiency on 2 devices (results/scaling_band_n100k_r3.log).
+    ``None`` = the full grid (identical to the banded form with
+    ``start=0, local=cx``)."""
     n, c = vals.shape
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
+    start, local = (0, cx) if row_range is None else row_range
     vals1 = jnp.concatenate(
         [vals, jnp.zeros((1, c), vals.dtype)], axis=0
     )
-    table = vals1[grid.agent]                                     # (nslot, C)
-    t = table.reshape(cx, cap, cy, c).transpose(0, 3, 1, 2)       # (cx,C,cap,cy)
-    t = t.reshape(cx, c * cap, cy)
-    return jnp.pad(t, ((1, 1), (0, 0), (1, cyp - cy - 1)))
+    agent3 = grid.agent.reshape(cx, cap, cy)
+    rows = start - 1 + jnp.arange(local + 2)                   # incl. halo
+    in_grid = (rows >= 0) & (rows < cx)
+    a = jnp.take(agent3, jnp.clip(rows, 0, cx - 1), axis=0)
+    a = jnp.where(in_grid[:, None, None], a, n)                # pad row
+    table = vals1[a]                                           # (local+2,cap,cy,C)
+    t = table.transpose(0, 3, 1, 2).reshape(local + 2, c * cap, cy)
+    return jnp.pad(t, ((0, 0), (0, 0), (1, cyp - cy - 1)))
 
 
 def _unpack(
@@ -343,19 +361,16 @@ def _apply_kernel(
 def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
            row_range=None):
     """Shared pallas_call plumbing: one program per grid row; each reads
-    padded rows i-1 / i / i+1 as three overlapping (1, ·, ·) blocks.
+    banded rows i-1 / i / i+1 as three overlapping (1, ·, ·) blocks.
 
-    ``row_range = (start, local)`` restricts the sweep to grid rows
-    ``[start, start + local)`` — the multi-chip partition: the packed
-    layout is replicated, the kernel runs only on the device's band (the
-    band's halo rows come free from the padded layout), and the caller
-    regathers the per-row outputs."""
+    ``packed`` is already BANDED by :func:`_pack` (``local + 2`` rows,
+    the device's sweep window including halo rows); ``row_range =
+    (start, local)`` here only selects the matching ``rowcnt`` slice —
+    the multi-chip partition builds each device's pack locally so the
+    per-device gather work shrinks 1/D with the mesh."""
     _, ch_cap, cyp = packed.shape
     if row_range is not None:
         start, local = row_range
-        packed = jax.lax.dynamic_slice(
-            packed, (start, 0, 0), (local + 2, ch_cap, cyp)
-        )
         rowcnt = jax.lax.dynamic_slice(rowcnt, (start,), (local,))
         grid_rows = local
     out = pl.pallas_call(
@@ -374,6 +389,14 @@ def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (grid_rows, out_channels, cyp), packed.dtype
+        ),
+        # The default 16 MB scoped-vmem budget rejects lane widths past
+        # ~512 (the unrolled 9-offset sweep holds a few (cap^2, cy_pad)
+        # pair blocks live; 23.7 MB at cy_pad=1024 == N=1M). v5e has
+        # 128 MB VMEM; 96 MB admits the widest grid a 16 GB-HBM swarm
+        # can need while leaving headroom for pipelining buffers.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
     )(rowcnt, packed, packed, packed)
@@ -409,7 +432,8 @@ def frame(
         interpret = jax.default_backend() == "cpu"
     n = x.shape[0]
     valid = jnp.ones((n, 1), x.dtype)
-    packed = _pack(grid, spec, jnp.concatenate([x, valid], axis=-1))
+    packed = _pack(grid, spec, jnp.concatenate([x, valid], axis=-1),
+                   row_range=row_range)
     kernel = functools.partial(
         _frame_kernel, cap=spec.cap,
         r2cut=float(p.comm_radius) ** 2, centralized=centralized,
@@ -462,7 +486,8 @@ def apply_adjT(
     wcols = cols / jnp.maximum(deg_src, 1.0)[:, None]
     valid = jnp.ones((pos_src.shape[0], 1), pos_src.dtype)
     packed = _pack(
-        grid, spec, jnp.concatenate([pos_src, valid, wcols], axis=-1)
+        grid, spec, jnp.concatenate([pos_src, valid, wcols], axis=-1),
+        row_range=row_range,
     )
     kernel = functools.partial(
         _apply_kernel, cap=spec.cap, c=c, r2cut=float(p.comm_radius) ** 2
