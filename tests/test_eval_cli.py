@@ -180,3 +180,30 @@ def test_repo_cfg_suite_covers_reference():
     ours = {os.path.basename(p) for p in glob.glob("/root/repo/cfg/*.cfg")}
     missing = ref - ours
     assert not missing, f"cfg files missing vs reference: {sorted(missing)}"
+
+
+def test_evaluate_blocked_aborts_on_overflow(monkeypatch, capsys):
+    """The large-N eval must never report rewards from a rollout whose
+    neighbor structure overflowed (round-2 shipped N=100k zero-shot
+    numbers from NaN rollouts because the CLI ignored the certificate;
+    evaluate.py now exits 3 with a loud error)."""
+    import jax.numpy as jnp
+
+    import evaluate as ev
+    import multiagent_gnn_policies_tpu.parallel.large_n as ln
+
+    def fake_rollout_large(params, acfg, key, p, **kw):
+        assert kw.get("return_overflow"), "CLI must request the certificate"
+        return (jnp.full((p.episode_steps,), jnp.nan),
+                jnp.zeros((p.n_agents, 4)), jnp.asarray(17, jnp.int32))
+
+    monkeypatch.setattr(ln, "rollout_large", fake_rollout_large)
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read_string(EVAL_CFG.format(k=3))
+    with pytest.raises(SystemExit) as e:
+        ev.evaluate_blocked(cp["evalrun"], None, n_agents=64, n_episodes=1,
+                            expert=True)
+    assert e.value.code == 3
+    assert "overflow=17" in capsys.readouterr().err
