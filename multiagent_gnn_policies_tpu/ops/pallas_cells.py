@@ -511,6 +511,7 @@ def ystack(
     grid_hist: Optional[tuple] = None,
     row_range=None,
     axis_name: Optional[str] = None,
+    max_cols: Optional[int] = None,
 ) -> jax.Array:
     """The aggregated delayed stack ``y_k = G_k(t)^T x_{t-k}`` (K, N, F) —
     ops/blocked.py:delayed_ystack with every adjacency transpose-apply on
@@ -522,6 +523,12 @@ def ystack(
         newest first (the rollout carries them — a packing is a pure
         function of positions, so carrying kills the per-step re-sort);
         rebuilt from ``carry.pos_hist`` when ``None``.
+      max_cols: HBM ceiling knob — split each transpose-apply into column
+        chunks of at most this many channels. The s=0 apply at K=3 packs
+        (3 + (K-1)·F) = 15 channels, ~1 GB of slot table at N=1M; chunking
+        trades one extra sweep of the same grid for halving the largest
+        live buffer (what lets the 1M-agent policy rollout fit a single
+        chip). ``None`` = one sweep per delay slot (fastest; default).
     """
     k = carry.history.shape[0]
     n, f = carry.history.shape[1:]
@@ -535,9 +542,18 @@ def ystack(
         else:
             pos_s, deg_s = carry.pos_hist[s - 1], carry.deg_hist[s - 1]
             grid_s = grid_hist[s - 1] if grid_hist is not None else None
+        if grid_s is None:
+            grid_s = build_pcell_grid(pos_s, spec)
         cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
-        out = apply_adjT(pos_s, deg_s, cols, spec, p, grid=grid_s,
-                         row_range=row_range, axis_name=axis_name)
+        c_tot = cols.shape[-1]
+        step_c = c_tot if max_cols is None else min(max_cols, c_tot)
+        outs = []
+        for c0 in range(0, c_tot, step_c):
+            outs.append(apply_adjT(
+                pos_s, deg_s, cols[:, c0:c0 + step_c], spec, p, grid=grid_s,
+                row_range=row_range, axis_name=axis_name,
+            ))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
         v = v.at[s:].set(
             jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2))
         )

@@ -182,9 +182,15 @@ def _ystack(cfg: LargeNConfig, carry: DelayCarry, x_now, deg_now, nl,
         )
 
         crr, ax = _cell_row_range(cfg)
+        # HBM ceiling: above ~300k agents the (3 + (K-1)*F)-channel apply
+        # pack is the peak live buffer (~1 GB/step at N=1M) — chunk the
+        # columns so the 1M-agent policy rollout fits one chip
+        # (ops/pallas_cells.py:ystack max_cols rationale)
+        max_cols = 6 if cfg.params.n_agents > 300_000 else None
         return pcells_ystack(
             carry, nl, x_now, deg_now, cfg.cell_spec, cfg.params,
             grid_hist=grid_hist, row_range=crr, axis_name=ax,
+            max_cols=max_cols,
         )
     if cfg.path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import cells_ystack

@@ -182,3 +182,28 @@ def test_rollout_large_pcells_sharded_matches_single():
     assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-5)
+
+
+@pytest.mark.parametrize("max_cols", [1, 2, 5])
+def test_ystack_column_chunking_parity(max_cols):
+    """The HBM-ceiling chunked apply (max_cols) is exact: splitting the
+    transpose-apply into column chunks changes buffer sizes, never values
+    (what lets the 1M-agent policy rollout fit one chip)."""
+    k = 3
+    key = jax.random.key(9)
+    x = _state(key)
+    fq = blocked_frame(x, P, block=48)
+    carry = delay_carry_init(fq.values, P.n_agents, k)
+    prev_deg = fq.degree
+    for t in range(k + 1):
+        x2 = x + 0.05 * jax.random.normal(jax.random.fold_in(key, t), x.shape)
+        fq2 = blocked_frame(x2, P, block=48)
+        carry = delay_carry_update(
+            carry, fq2.values, x[:, :2],
+            deg_prev=prev_deg if carry.deg_hist.shape[0] else None,
+        )
+        x, prev_deg = x2, fq2.degree
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    want = ystack(carry, grid, x, prev_deg, SPEC, P)
+    got = ystack(carry, grid, x, prev_deg, SPEC, P, max_cols=max_cols)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
