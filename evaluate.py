@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -140,7 +141,7 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
             f"ERROR: neighbor-structure overflow={max_overflow} "
             f"(max over episodes/steps) — results are invalid; "
             f"raise --cell-margin/cap or use the blocked path",
-            file=__import__("sys").stderr,
+            file=sys.stderr,
         )
         raise SystemExit(3)
     return {"mean": float(np.mean(rewards)), "std": float(np.std(rewards))}
