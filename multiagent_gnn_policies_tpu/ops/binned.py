@@ -46,6 +46,7 @@ import jax.numpy as jnp
 import numpy as _np
 
 from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.ops.precision import centralized_consensus
 
 HASH_BITS = 20
 HASH_SIZE = 1 << HASH_BITS
@@ -212,10 +213,11 @@ def binned_frame(
     gx = (-2.0 * dx * inv_r4 + 2.0 * dx * inv_r2) * in_range
     gy = (-2.0 * dy * inv_r4 + 2.0 * dy * inv_r2) * in_range
     if centralized:
-        # sum_{j != i} (v_i - v_j) = N v_i - sum_j v_j  (exact, O(N))
-        vsum = jnp.sum(x[:, 2:4], axis=0)
-        ux = -((n * xi[:, 2] - vsum[0]) + jnp.sum(gx, axis=1))
-        uy = -((n * xi[:, 3] - vsum[1]) + jnp.sum(gy, axis=1))
+        # compensated O(N) consensus closed form (ops/precision.py — a
+        # plain f32 sum amplifies its reduction error by N)
+        cons = _slice_rows(centralized_consensus(x[:, 2:4]), row_range)
+        ux = -(cons[:, 0] + jnp.sum(gx, axis=1))
+        uy = -(cons[:, 1] + jnp.sum(gy, axis=1))
     else:
         ux = -(jnp.sum(dvx * m, axis=1) + jnp.sum(gx * m, axis=1))
         uy = -(jnp.sum(dvy * m, axis=1) + jnp.sum(gy * m, axis=1))

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as _np
 
 from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.ops.precision import centralized_consensus
 
 # 3x3 neighborhood offsets into the padded grid (dx, dy in {0, 1, 2})
 _OFFS = [(dx, dy) for dx in range(3) for dy in range(3)]
@@ -275,9 +276,16 @@ def cells_frame(
     start, local_rows = (
         (jnp.zeros((), jnp.int32), spec.cx) if row_range is None else row_range
     )
-    gx, gi = _pad_grid_band(spec, grid, x, row_range)
+    if centralized:
+        # compensated O(N) consensus term (ops/precision.py — a plain f32
+        # mean here amplifies its reduction error by N), packed alongside
+        # the state so the strip sweep reads it per agent
+        cons = centralized_consensus(x[:, 2:4])
+        xin = jnp.concatenate([x, cons], axis=-1)          # (N, 6)
+    else:
+        xin = x
+    gx, gi = _pad_grid_band(spec, grid, xin, row_range)
     r2cut = p.comm_radius * p.comm_radius
-    vsum = jnp.sum(x[:, 2:4], axis=0)
     nstrips = local_rows // spec.strip
 
     def body(min_r2, s):
@@ -314,9 +322,8 @@ def cells_frame(
         gxp = (-2.0 * dx * inv_r4 + 2.0 * dx * inv_r2) * in_range
         gyp = (-2.0 * dy * inv_r4 + 2.0 * dy * inv_r2) * in_range
         if centralized:
-            # sum_{j != i} (v_i - v_j) = N v_i - sum_j v_j (O(N), exact)
-            ux = -((n * xi[..., 2] - vsum[0]) + jnp.sum(gxp, axis=-1))
-            uy = -((n * xi[..., 3] - vsum[1]) + jnp.sum(gyp, axis=-1))
+            ux = -(xi[..., 4] + jnp.sum(gxp, axis=-1))
+            uy = -(xi[..., 5] + jnp.sum(gyp, axis=-1))
         else:
             ux = -(jnp.sum(dvx * m, axis=-1) + jnp.sum(gxp * m, axis=-1))
             uy = -(jnp.sum(dvy * m, axis=-1) + jnp.sum(gyp * m, axis=-1))

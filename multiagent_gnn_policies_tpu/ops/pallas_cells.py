@@ -53,10 +53,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.ops.precision import centralized_consensus
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=1)
+def _vmem_limit_bytes() -> int:
+    """Scoped-VMEM budget for the sweep kernels.
+
+    The default 16 MB budget rejects lane widths past ~512 (the unrolled
+    9-offset sweep holds a few (cap^2, cy_pad) pair blocks live; 23.7 MB
+    at cy_pad=1024 == N=1M). We grant 3/4 of the device's physical VMEM —
+    96 MB on the 128 MB v5e/v5p/v6e generations — leaving headroom for
+    pipelining buffers. Derived per device (r3 ADVICE item 4: a hardcoded
+    96 MB would fail at compile time on a smaller-VMEM generation):
+    pre-v5 TPUs have 16-32 MB, so those fall back to the 16 MB default.
+    Override with MAGNN_VMEM_LIMIT_MB for unrecognized generations.
+    """
+    import os
+
+    env = os.environ.get("MAGNN_VMEM_LIMIT_MB")
+    if env:
+        return int(env) * 1024 * 1024
+    kind = ""
+    try:
+        dev = jax.devices()[0]
+        if dev.platform == "tpu":
+            kind = dev.device_kind.lower()
+    except Exception:
+        pass
+    if any(g in kind for g in ("v5", "v6", "v7")):
+        return 96 * 1024 * 1024
+    return 16 * 1024 * 1024   # conservative default (pre-v5 / unknown / CPU)
 
 
 class PCellSpec(NamedTuple):
@@ -390,13 +421,8 @@ def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
         out_shape=jax.ShapeDtypeStruct(
             (grid_rows, out_channels, cyp), packed.dtype
         ),
-        # The default 16 MB scoped-vmem budget rejects lane widths past
-        # ~512 (the unrolled 9-offset sweep holds a few (cap^2, cy_pad)
-        # pair blocks live; 23.7 MB at cy_pad=1024 == N=1M). v5e has
-        # 128 MB VMEM; 96 MB admits the widest grid a 16 GB-HBM swarm
-        # can need while leaving headroom for pipelining buffers.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit_bytes()   # device-derived, see above
         ),
         interpret=interpret,
     )(rowcnt, packed, packed, packed)
@@ -450,9 +476,13 @@ def frame(
         min_r2 = jnp.min(_unpack(grid, spec, out, fill=1e12)[:, 9])
     gxs, gys = per[:, 7], per[:, 8]
     if centralized:
-        vsum = jnp.sum(x[:, 2:4], axis=0)
-        ux = -((n * x[:, 2] - vsum[0]) + gxs)
-        uy = -((n * x[:, 3] - vsum[1]) + gys)
+        # O(N) closed form of sum_{j != i}(v_i - v_j), compensated — a plain
+        # f32 mean/sum here amplifies its reduction error by N (measured
+        # 3.5e-2 relative at N=1e5 as N·v_i - Σv, 2e-2 as N·(v_i - mean);
+        # ops/precision.py rationale)
+        cons = centralized_consensus(x[:, 2:4])
+        ux = -(cons[:, 0] + gxs)
+        uy = -(cons[:, 1] + gys)
     else:
         ux = -(per[:, 0] + gxs)
         uy = -(per[:, 3] + gys)

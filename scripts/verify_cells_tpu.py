@@ -126,13 +126,15 @@ def _compare(name: str, got, ref, rtol: float, n: int = 0) -> None:
                   f"{np.sum(~np.isfinite(a))} non-finite entries")
             continue
         tol = rtol
-        if field == "expert" and n:
-            # centralized velocity consensus: the cell paths use the O(N)
-            # identity n*v_i - sum_j v_j while blocked sums directly —
-            # both carry O(N * eps * |v|) f32 error (catastrophic
-            # cancellation at N*bias ~ 1e5), so equivalence is only
-            # defined up to that bound (measured 2.8e-3 at N=12288)
-            tol = max(rtol, 6e-7 * n)
+        # expert channel: since r4 the cell paths compute the centralized
+        # consensus as the well-conditioned N·(v_i - mean(v)) (was
+        # N·v_i - Σv, which cancelled ~5 of f32's ~7 digits at N=1e5 and
+        # needed a 3.5e-2 tolerance here) — it now certifies at the same
+        # rtol as every other channel (measured 4.5e-4 at N=100k on-chip,
+        # results/verify_cells_tpu_r4.log; the residual is dominated by
+        # the blocked ORACLE's own per-row f32 pairwise summation — the
+        # compensated closed form is ~1e-5 of f64 truth,
+        # tests/test_precision.py)
         scale = np.maximum(np.abs(b), 1.0)
         err = float(np.max(np.abs(a - b) / scale))
         check(f"{name}.{field}", err <= tol, f"rel_err={err:.2e}")
