@@ -52,14 +52,17 @@ def log(msg: str) -> None:
 # Re-implemented from SURVEY §2.1/§2.2/§2.9 semantics (not copied).
 # ---------------------------------------------------------------------------
 
-def bench_reference_baseline(n_steps: int = 60) -> float:
+def bench_reference_baseline(n_steps: int = 60, threads: int = 1) -> float:
     import torch
 
     # Pinned measurement protocol (BENCH comparability across rounds):
     # single-threaded torch (the round-1/round-2 ratio denominator swung
     # 533.6 -> 158.0 steps/s purely on thread scheduling), fixed n_steps,
     # no warmup discard — raw ms/step is logged alongside the ratio.
-    torch.set_num_threads(1)
+    # ``threads`` != 1 is measured too (main logs both) so the published
+    # ratio's denominator is auditable against what a default-config torch
+    # user would see on this host (r3 ADVICE item 3).
+    torch.set_num_threads(threads)
     torch.manual_seed(0)
     rng = np.random.default_rng(0)
     n, k, dt = N_AGENTS, K, 0.01
@@ -255,9 +258,18 @@ def bench_large_n() -> None:
 
 
 def main() -> None:
+    import os
+
+    # default-thread-count run FIRST (torch forbids raising the thread
+    # count after parallel work has started), then the pinned protocol run
+    # that the published ratio uses
+    mt = os.cpu_count() or 1
+    ref_mt_sps = bench_reference_baseline(threads=mt)
     ref_sps = bench_reference_baseline()
-    log(f"reference-equivalent baseline (torch/numpy host loop, "
-        f"1 thread): {ref_sps:.1f} steps/s ({1e3 / ref_sps:.2f} ms/step)")
+    log(f"reference-equivalent baseline (torch/numpy host loop): "
+        f"pinned 1 thread {ref_sps:.1f} steps/s ({1e3 / ref_sps:.2f} "
+        f"ms/step) — the vs_baseline denominator; {mt} threads "
+        f"{ref_mt_sps:.1f} steps/s for comparison")
 
     single, batched = bench_tpu_rollout()
     log(f"fused TPU rollout: single-env {single:.0f} steps/s, "

@@ -170,6 +170,26 @@ def evaluate_section(section, actor_path: str, k=None, per_episode=False,
     from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
 
     cfg = ExperimentConfig.from_section(section)
+    if cfg.alg == "ddpg":
+        # A DDPG checkpoint is a different policy class: ind_agg = half the
+        # stack (gnn_ddpg.py:126) and the cfg's policy_bound (tanh default)
+        # — evaluating it through the imitation eval would silently apply a
+        # raw-output/ind_agg=0 actor. Route through the DDPG evaluator so
+        # the CLI scores exactly what training self-evaluated.
+        if traj_path:
+            raise SystemExit(
+                "--save-trajectory is not supported for alg=ddpg sections"
+            )
+        from multiagent_gnn_policies_tpu.algos.ddpg import DDPG, DDPGConfig
+
+        ddpg = DDPG(DDPGConfig.from_experiment(cfg))
+        params = load_actor_params(actor_path, ddpg.state.actor)
+        ddpg.state = ddpg.state._replace(actor=params)
+        rewards = np.asarray(ddpg._eval(ddpg.state, jax.random.key(cfg.seed)))
+        if per_episode:
+            for r in rewards:
+                print(float(r))
+        return {"mean": float(rewards.mean()), "std": float(rewards.std())}
     icfg = ImitationConfig.from_experiment(cfg, mode="dagger", k=k)
     learner = ImitationLearner(icfg)
     learner.params = params = load_actor_params(actor_path, learner.params)

@@ -95,6 +95,7 @@ class DDPGConfig:
         actor = ActorConfig(
             n_s=x.n_states, n_a=x.n_actions, hidden=hidden, k=x.k,
             ind_agg=len(hidden) // 2,   # aggregate halfway (gnn_ddpg.py:126)
+            bound=x.policy_bound,       # cfg knob: "tanh" | "none"
         )
         critic = CriticConfig(n_s=x.n_states, n_a=x.n_actions, hidden=hidden,
                               k=x.k, use_groupnorm=x.critic_gn,
@@ -145,18 +146,24 @@ def _soft_update(target, source, tau: float):
 
 
 def _policy(params, acfg: ActorConfig, delay_state, delay_gso) -> jax.Array:
-    """The DDPG policy: tanh-bounded actor output.
+    """The DDPG policy — bounded or raw per ``acfg.bound``.
 
-    The env executes accelerations clipped to [-1, 1] (max_accel), so the
-    policy class must be bounded too: optimizing ``-Q(s, pi(s))`` with the
-    RAW actor output lets the actor walk into out-of-distribution action
+    ``bound="tanh"`` (the default via cfg key ``policy_bound``): the env
+    executes accelerations clipped to [-1, 1] (max_accel), so the policy
+    class should be bounded too — optimizing ``-Q(s, pi(s))`` with the RAW
+    actor output lets the actor walk into out-of-distribution action
     magnitudes where the critic extrapolates arbitrarily (observed: mean Q
     turned positive while every true reward is negative, and eval reward
     oscillated -57 <-> -229 as the critic corrected). The reference's
     commented-out output scaling (actor.py:78-81) gestures at the same
     need; tanh keeps gradients alive where a hard clip would zero them.
+
+    ``bound="none"`` restores the reference's unbounded policy class: the
+    actor loss differentiates through the raw output
+    (gnn_ddpg.py:205-216); clamping happens only at action selection
+    (gnn_ddpg.py:164-167 — the ``jnp.clip`` at the episode call site).
     """
-    return jnp.tanh(actor_forward(params, acfg, delay_state, delay_gso))
+    return actor_forward(params, acfg, delay_state, delay_gso)
 
 
 class DDPG:
@@ -195,6 +202,7 @@ class DDPG:
             "notdone": jnp.zeros(()),
         }
         self.buffer = replay_init(cfg.buffer_size, example)
+        self._ep = 0                 # training-loop position (checkpointable)
 
         self._episode = jax.jit(partial(self._episode_impl, self))
         self._eval = jax.jit(partial(self._eval_impl, self))
@@ -360,12 +368,65 @@ class DDPG:
         r = np.asarray(self._eval(self.state, self._next_key()))
         return float(r.mean()), float(r.std())
 
-    def train(self, save_path: Optional[str] = None) -> dict:
+    # --- full-training-state checkpoint / resume (r3 VERDICT weak #7: the
+    #     imitation learners got crash-safe restart, DDPG saved only final
+    #     weights — reference gnn_ddpg.py:224-242 is likewise end-only) ---
+
+    def training_state(self) -> dict:
+        """Complete restart state: all six TrainState members (both targets
+        and both optimizer states), replay, PRNG, and the loop counter."""
+        return {
+            "state": self.state._asdict(),
+            "buffer": self.buffer,
+            "key": jax.random.key_data(self._key),
+            "episode": np.int64(self._ep),
+        }
+
+    def save_training_state(self, path: str) -> None:
+        from multiagent_gnn_policies_tpu.utils import checkpoint
+        from multiagent_gnn_policies_tpu.utils.debug import check_finite
+
+        check_finite(self.state.actor, "actor")
+        check_finite(self.state.critic, "critic")
+        checkpoint.save(path, self.training_state())
+
+    def load_training_state(self, path: str) -> None:
+        from multiagent_gnn_policies_tpu.utils import checkpoint
+
+        st = checkpoint.load(path, self.training_state())
+        self.state = TrainState(
+            **jax.tree.map(jnp.asarray, st["state"])
+        )
+        self.buffer = jax.tree.map(jnp.asarray, st["buffer"])
+        self._key = jax.random.wrap_key_data(jnp.asarray(st["key"]))
+        self._ep = int(st["episode"])
+
+    def train(
+        self,
+        save_path: Optional[str] = None,
+        state_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        stop_after: Optional[int] = None,
+    ) -> dict:
+        """Run (or resume) the training loop — same crash-safety contract
+        as ImitationLearner.train: an existing ``state_path`` resumes
+        bit-exact; ``stop_after`` is the preemption-safe early exit."""
+        import os
+
         cfg = self.cfg
-        for ep in range(cfg.n_train_episodes):
+        if state_path and os.path.exists(state_path):
+            self.load_training_state(state_path)
+            self.logger.log("resume", episode=self._ep)
+        while self._ep < cfg.n_train_episodes:
+            if stop_after is not None and self._ep >= stop_after:
+                if state_path:
+                    self.save_training_state(state_path)
+                return {"mean": np.nan, "std": np.nan, "interrupted": True}
+            ep = self._ep
             self.state, self.buffer, ep_reward, c_loss, a_loss = self._episode(
                 self.state, self.buffer, self._next_key()
             )
+            self._ep = ep + 1
             if ep % cfg.test_interval == 0:
                 mean, std = self.evaluate()
                 self.logger.log(
@@ -373,8 +434,15 @@ class DDPG:
                     rollout_reward=float(ep_reward),
                     critic_loss=float(c_loss), actor_loss=float(a_loss),
                 )
+            if (
+                state_path and checkpoint_every
+                and self._ep % checkpoint_every == 0
+            ):
+                self.save_training_state(state_path)
         mean, std = self.evaluate()
         self.logger.log("final_eval", reward_mean=mean, reward_std=std)
+        if state_path:
+            self.save_training_state(state_path)
         if save_path:
             from multiagent_gnn_policies_tpu.utils import checkpoint
 
@@ -386,6 +454,7 @@ class DDPG:
         return {"mean": mean, "std": std}
 
 
-def train_ddpg(cfg: ExperimentConfig, logger=None, save_path=None) -> dict:
+def train_ddpg(cfg: ExperimentConfig, logger=None, save_path=None,
+               state_path=None, checkpoint_every=0) -> dict:
     learner = DDPG(DDPGConfig.from_experiment(cfg), logger)
-    return learner.train(save_path)
+    return learner.train(save_path, state_path, checkpoint_every)

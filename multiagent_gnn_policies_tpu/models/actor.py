@@ -49,6 +49,11 @@ class ActorConfig:
       k: number of delay taps (graph filter length).
       ind_agg: index of the layer before which aggregation happens
         (0 in the imitation learners, reference gnn_dagger.py:43).
+      bound: output bounding — "none" (reference semantics: the raw linear
+        output, learner/actor.py:75-84 ships with scaling/clamping disabled)
+        or "tanh" (bounded policy class; the DDPG default here — cfg key
+        ``policy_bound``, see algos/ddpg.py for why). Parameters are
+        identical either way, so checkpoints are interchangeable.
     """
 
     n_s: int
@@ -56,6 +61,11 @@ class ActorConfig:
     hidden: Tuple[int, ...]
     k: int
     ind_agg: int = 0
+    bound: str = "none"
+
+    def __post_init__(self):
+        if self.bound not in ("none", "tanh"):
+            raise ValueError(f"unknown actor bound {self.bound!r}")
 
     @property
     def widths(self) -> Tuple[int, ...]:
@@ -137,6 +147,8 @@ def actor_forward(
             ) + b
         if i < cfg.n_layers - 1:
             x = jnp.tanh(x)
+        elif cfg.bound == "tanh":
+            x = jnp.tanh(x)          # bounded policy class (cfg.bound)
         if return_activations:
             acts.append(x)
     if return_activations:

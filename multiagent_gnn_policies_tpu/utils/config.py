@@ -77,9 +77,23 @@ class ExperimentConfig:
     reward_scale: float = 1.0    # DDPG TD-target reward scaling
     critic_gn: bool = True       # DDPG critic GroupNorm (models/critic.py)
     critic_input: str = "identity"  # DDPG critic input transform
+    # DDPG policy class: "tanh" (bounded — the documented default, see
+    # algos/ddpg.py conditioning rationale) or "none" (reference semantics:
+    # raw actor output in the -Q loss, clip only at action selection,
+    # gnn_ddpg.py:164-167,205-216)
+    policy_bound: str = "tanh"
     n_rollout_envs: int = 1
     episode_steps: int = 200
     matmul_precision: str = "default"
+    # large-N trainer (algos/imitation_large.py): agents per stored replay
+    # record (0 = auto: min(n_agents, 4096)) and graph backend
+    # ("auto" | "blocked" | "cells" | "pcells")
+    store_agents: int = 0
+    graph_path: str = "auto"
+    # trainer dispatch: "auto" routes dagger/cloning sections with
+    # n_agents > 1024 through the large-N trainer (the dense (K,N,N)
+    # path is the reference's representation, unusable at those N)
+    trainer: str = "auto"
 
     @classmethod
     def from_section(cls, sec) -> "ExperimentConfig":
@@ -134,9 +148,13 @@ class ExperimentConfig:
             reward_scale=getf("reward_scale", d.reward_scale),
             critic_gn=getb("critic_gn", d.critic_gn),
             critic_input=gets("critic_input", d.critic_input),
+            policy_bound=gets("policy_bound", d.policy_bound).lower(),
             n_rollout_envs=geti("n_rollout_envs", d.n_rollout_envs),
             episode_steps=geti("episode_steps", d.episode_steps),
             matmul_precision=gets("matmul_precision", d.matmul_precision),
+            store_agents=geti("store_agents", d.store_agents),
+            graph_path=gets("graph_path", d.graph_path).lower(),
+            trainer=gets("trainer", d.trainer).lower(),
         )
 
     @property

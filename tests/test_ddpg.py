@@ -89,12 +89,18 @@ def test_ddpg_target_networks_track():
     assert np.abs(after - online).max() < 1e-2
 
 
+@pytest.mark.slow
 def test_ddpg_toy_config_learns():
     """Regression gate for DDPG capability (VERDICT r2 item 5): a
     shortened cfg/ddpg_toy.cfg run must improve over the untrained
     policy. Deterministic on CPU (fixed seeds), so the margin is a
-    numerics-change tripwire, not a statistical bet. The full committed
-    curve: results/ddpg_toy_metrics.jsonl (-30 untrained -> -17.6)."""
+    numerics-change tripwire, not a statistical bet — expected pair at
+    HEAD numerics: untrained ~-30, trained >= -26 (full committed curve:
+    results/ddpg_toy_metrics.jsonl, -30 -> ~-17). Marked ``slow`` (150
+    training episodes, ~2 min): deselect with ``-m 'not slow'`` for the
+    quick tier; a failure after a JAX/XLA upgrade most likely means the
+    long jitted loop's CPU numerics drifted — re-measure the pair before
+    suspecting the algorithm (r3 ADVICE item 5)."""
     from multiagent_gnn_policies_tpu.utils.config import (
         ExperimentConfig,
         load_ini,
@@ -109,7 +115,74 @@ def test_ddpg_toy_config_learns():
     stats = learner.train()
     assert stats["mean"] > untrained_mean + 4.0, (
         f"DDPG stopped learning: untrained {untrained_mean:.1f}, "
-        f"trained {stats['mean']:.1f}"
+        f"trained {stats['mean']:.1f} (expected ~-30 -> >=-26 on the "
+        f"150-episode shortened toy config; see docstring before triaging)"
+    )
+
+
+def test_policy_bound_knob():
+    """policy_bound selects the policy class (r3 VERDICT item 3): "tanh"
+    bounds the actor output inside the policy; "none" restores the
+    reference's raw-output actor (clamping only at action selection,
+    gnn_ddpg.py:164-167) — both must remain expressible from the cfg."""
+    import dataclasses as dc
+
+    from multiagent_gnn_policies_tpu.models.actor import (
+        actor_forward,
+        init_actor,
+    )
+    from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+
+    x = ExperimentConfig(alg="ddpg", hidden_size=8, n_layers=2, k=2)
+    assert DDPGConfig.from_experiment(x).actor.bound == "tanh"  # default
+    x_raw = dc.replace(x, policy_bound="none")
+    acfg = DDPGConfig.from_experiment(x_raw).actor
+    assert acfg.bound == "none"
+
+    # same params, both classes: tanh(raw) == bounded forward
+    params = init_actor(jax.random.key(0), acfg)
+    # scale the output layer so the raw policy genuinely leaves [-1, 1]
+    params[-1]["w"] = params[-1]["w"] * 20.0
+    ds = jax.random.normal(jax.random.key(1), (2, acfg.k, 5, 6)) * 3.0
+    gso = jnp.broadcast_to(jnp.eye(5), (2, acfg.k, 5, 5))
+    raw = actor_forward(params, acfg, ds, gso)
+    bounded = actor_forward(
+        params, dataclasses.replace(acfg, bound="tanh"), ds, gso
+    )
+    assert np.abs(np.asarray(raw)).max() > 1.0        # genuinely unbounded
+    np.testing.assert_allclose(
+        np.asarray(bounded), np.tanh(np.asarray(raw)), rtol=1e-6
+    )
+
+    with pytest.raises(ValueError):
+        ActorConfig(n_s=6, n_a=2, hidden=(8,), k=2, bound="clip")
+
+
+def test_ddpg_resume_matches_uninterrupted(tmp_path):
+    """DDPG crash-safety parity with the imitation learners (r3 VERDICT
+    weak #7): preempt at episode 2 of 4, resume from the state file, and
+    the final train state must match the uninterrupted run exactly."""
+    state = str(tmp_path / "ddpg_state.npz")
+
+    full = DDPG(tiny_cfg(n_train_episodes=4))
+    full.train()
+
+    part = DDPG(tiny_cfg(n_train_episodes=4))
+    out = part.train(state_path=state, stop_after=2)
+    assert out["interrupted"]
+
+    rest = DDPG(tiny_cfg(n_train_episodes=4))
+    rest.train(state_path=state)
+
+    assert rest._ep == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.state),
+        jax.tree_util.tree_leaves(rest.state),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(full.buffer.size), np.asarray(rest.buffer.size)
     )
 
 
