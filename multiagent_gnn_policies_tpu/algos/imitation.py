@@ -230,12 +230,7 @@ class ImitationLearner:
         self.tx = optax.adam(cfg.actor_lr)
         self.opt_state = self.tx.init(self.params)
 
-        p = cfg.env
-        example = {
-            "agg": jnp.zeros((cfg.actor.k, p.n_agents, cfg.actor.n_s)),
-            "act": jnp.zeros((p.n_agents, cfg.actor.n_a)),
-        }
-        self.buffer = replay_init(cfg.buffer_size, example)
+        self.buffer = replay_init(cfg.buffer_size, self._example_record())
 
         # mutable training-loop state (checkpointable, see training_state())
         self._rnd = 0
@@ -244,6 +239,16 @@ class ImitationLearner:
 
         self._round = jax.jit(partial(self._round_impl, self))
         self._eval = jax.jit(partial(self._eval_impl, self))
+
+    def _example_record(self) -> dict:
+        """Shape/dtype template of one replay record (a full step's
+        pre-aggregated features + expert labels; the large-N learner
+        overrides this with an agent-subsampled record)."""
+        cfg = self.cfg
+        return {
+            "agg": jnp.zeros((cfg.actor.k, cfg.env.n_agents, cfg.actor.n_s)),
+            "act": jnp.zeros((cfg.env.n_agents, cfg.actor.n_a)),
+        }
 
     # --- jitted bodies (self is static via partial) ---
 

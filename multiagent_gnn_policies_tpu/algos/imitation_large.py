@@ -1,0 +1,323 @@
+"""Imitation training (cloning / DAGGER) at large N — the O(N) cell paths
+as a TRAINING capability, not just an eval one.
+
+The reference trains at N = 100 (cfg/dagger.cfg) and its dense (K, N, N)
+state representation caps it near N ≈ 250 (SURVEY §5); its transfer story
+is therefore train-small / evaluate-big (test_model_transfer.py). This
+module removes the training ceiling: the DAGGER/cloning round runs
+end-to-end on one chip (or a mesh) at N = 32,768+ using the same O(N)
+fused Pallas cell sweeps the large-N *evaluation* path uses
+(parallel/large_n.py), so a policy can be trained IN the regime it will
+be deployed in — something no reference-shaped program can represent.
+
+Design (TPU-first):
+
+* **Collection** is one ``lax.scan`` episode over the cell-path frame +
+  delayed y-stack (ops/pallas_cells.py): per step the (K, N, F)
+  pre-aggregated features, the expert labels, and the DAGGER beta coin —
+  semantics identical to algos/imitation.py:rollout_episode (per-step
+  expert coin with prob beta, expert labels always, reference
+  gnn_dagger.py:156-178), verified by tests/test_imitation_large.py
+  against the dense path at small N.
+
+* **Agent-subsampled replay**: a stored record is ``store_agents`` agents'
+  pre-aggregated rows ``(K, S, F)`` + labels ``(S, 2)``, drawn uniformly
+  WITH replacement per step. Because ``ind_agg == 0`` the policy output
+  for agent i depends only on its own pre-aggregated rows, so the MSE over
+  a uniform agent subsample is an unbiased estimator of the full-swarm MSE
+  — the gradient signal is exact in expectation while buffer memory drops
+  N/S-fold (10k records at N=32k would be 24 GB un-subsampled; 3.3 GB at
+  S=4096). Uniform-with-replacement costs O(S) per step (no second
+  full-swarm sort); collision rate at S=4096 of 32k is ~6% and only
+  reweights a few rows within one record.
+
+* **Updates** are the parent class's scan of Adam steps on replay batches
+  (``_loss_fn`` is shape-polymorphic over the agent axis).
+
+* **Exactness gate**: the per-episode max neighbor-structure overflow is
+  returned to the host and a nonzero value raises — a training run that
+  silently dropped neighbors is not a result (repo contract, SURVEY §7).
+
+* **Mesh mode**: collection runs under ``shard_map`` with the grid-row
+  band partition of the cell sweeps (parallel/large_n.py semantics); the
+  update scan stays in the outer jit on replicated params. Parity with the
+  single-device round is asserted on the virtual CPU mesh in CI.
+
+Checkpoint/resume, beta schedule, best-eval tracking, and the train() loop
+are inherited unchanged from :class:`ImitationLearner`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multiagent_gnn_policies_tpu.algos.imitation import (
+    ImitationConfig,
+    ImitationLearner,
+    _loss_fn,
+)
+from multiagent_gnn_policies_tpu.algos.replay import (
+    replay_insert_batch,
+    replay_sample,
+)
+from multiagent_gnn_policies_tpu.envs.flocking import ENV_REGISTRY, FlockingParams
+from multiagent_gnn_policies_tpu.models.actor import ActorConfig, actor_forward
+from multiagent_gnn_policies_tpu.ops.blocked import (
+    delay_carry_init,
+    delay_carry_update,
+)
+from multiagent_gnn_policies_tpu.parallel.large_n import (
+    LargeNConfig,
+    _dynamics,
+    _frame,
+    _reset,
+    _reward,
+    _ystack,
+    pick_block,
+    rollout_large,
+)
+from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class LargeNImitationConfig(ImitationConfig):
+    """ImitationConfig + the large-N collection knobs.
+
+    Attributes:
+      store_agents: agents per stored replay record (uniform subsample;
+        0 = all agents — only sensible at small N).
+      graph_path: graph backend for collection/eval — "auto" picks
+        parallel/large_n.py's size-based default ("pcells" at N >= 32768).
+      cell_margin: cell-grid extent margin (see rollout_large).
+    """
+
+    store_agents: int = 4096
+    graph_path: str = "auto"
+    cell_margin: float = 1.3
+
+    @classmethod
+    def from_experiment(cls, x: ExperimentConfig, mode: Optional[str] = None,
+                        k: Optional[int] = None) -> "LargeNImitationConfig":
+        base = ImitationConfig.from_experiment(x, mode=mode, k=k)
+        s = x.store_agents or min(x.n_agents, 4096)
+        return cls(
+            **dataclasses.asdict(base) | {
+                "actor": base.actor, "env": base.env,
+            },
+            store_agents=min(s, x.n_agents),
+            graph_path=x.graph_path,
+        )
+
+
+def _collect_episode(
+    cfg: LargeNConfig,
+    acfg: ActorConfig,
+    mode: str,
+    s_store: int,
+    T: int,
+    params,
+    key: jax.Array,
+    beta: jax.Array,
+):
+    """One fused collecting episode at scale.
+
+    Returns ``(samples {agg (T,K,S,F), act (T,S,2)}, ep_reward, overflow)``
+    — the same quantities algos/imitation.py:rollout_episode produces,
+    computed through the O(N) cell paths and agent-subsampled. Runs
+    identically single-device or inside shard_map (collectives gated on
+    ``cfg.axis``, exactly like parallel/large_n.py:_rollout_body).
+    """
+    p = cfg.params
+    reset_key, scan_key = jax.random.split(key)
+    x, fq, nl = _reset(cfg, reset_key, centralized=True)
+    k = acfg.k
+    carry = delay_carry_init(fq.values, p.n_agents, k)
+    sparse = cfg.path in ("binned", "cells", "pcells")
+    ovf = nl.overflow if sparse else jnp.zeros((), jnp.int32)
+    n_gh = k - 2 if cfg.path == "pcells" else 0
+    gh = tuple(nl for _ in range(n_gh))
+
+    def body(state, keys):
+        step_key, coin_key, idx_key = keys
+        x, carry, fq, nl, gh, ovf = state
+        y = _ystack(cfg, carry, x, fq.degree, nl, grid_hist=gh or None)
+        expert = fq.expert
+        if mode == "cloning":
+            act = expert                       # expert-only rollout
+        else:                                  # dagger beta mixing
+            learner_act = actor_forward(params, acfg, y, None)
+            coin = jax.random.bernoulli(coin_key, beta)
+            act = jnp.where(coin, expert, learner_act)
+        # uniform WITH replacement: unbiased MSE subsample, O(S) per step
+        idx = jax.random.randint(idx_key, (s_store,), 0, p.n_agents)
+        sample = {"agg": y[:, idx, :], "act": expert[idx]}
+        pos_prev = x[:, :2]
+        x2 = _dynamics(x, act, p, step_key)
+        fq2, nl2 = _frame(cfg, x2, True)
+        if sparse:
+            ovf = jnp.maximum(ovf, nl2.overflow)
+        carry2 = delay_carry_update(
+            carry, fq2.values, pos_prev,
+            deg_prev=fq.degree if carry.deg_hist.shape[0] else None,
+        )
+        gh2 = (nl,) + gh[:-1] if n_gh else gh
+        return (x2, carry2, fq2, nl2, gh2, ovf), (sample, _reward(x2))
+
+    keys = tuple(jax.random.split(k_, T)
+                 for k_ in jax.random.split(scan_key, 3))
+    (_, _, _, _, _, ovf), (samples, rewards) = jax.lax.scan(
+        body, (x, carry, fq, nl, gh, ovf), keys
+    )
+    return samples, jnp.sum(rewards), ovf
+
+
+class LargeNImitationLearner(ImitationLearner):
+    """Cloning/DAGGER driver at large N (cell-path collection, subsampled
+    replay). ``mesh``: optional device mesh with an ``agents`` axis — the
+    collection episode is shard_mapped over it (grid-row band partition)."""
+
+    def __init__(self, cfg: LargeNImitationConfig, logger=None,
+                 mesh: Optional[Mesh] = None, axis: str = "agents"):
+        if cfg.n_rollout_envs != 1:
+            raise ValueError("large-N trainer is single-env per round")
+        self.mesh, self.axis = mesh, axis
+        p = ENV_REGISTRY[cfg.env_name](cfg.env)
+        # resolve the graph backend exactly as rollout_large does
+        n_dev = mesh.shape[axis] if mesh is not None else 1
+        path = cfg.graph_path
+        if path == "auto":
+            path = "pcells" if p.n_agents >= 32768 else "blocked"
+        cell_spec = None
+        if path == "cells":
+            from multiagent_gnn_policies_tpu.ops.cells import make_cell_spec
+            cell_spec = make_cell_spec(p, cap=12, margin=cfg.cell_margin,
+                                       n_dev=n_dev)
+        elif path == "pcells":
+            from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+                make_pcell_spec,
+            )
+            cell_spec = make_pcell_spec(p, cap=16, margin=cfg.cell_margin,
+                                        n_dev=n_dev)
+        rows = p.n_agents // n_dev
+        self._lcfg = LargeNConfig(
+            params=p, block=pick_block(rows), rows=rows,
+            axis=axis if mesh is not None else None,
+            path=path, cap=32, cell_spec=cell_spec, n_dev=n_dev,
+        )
+        super().__init__(cfg, logger)
+        self._round_jit = self._round          # 6-output jitted round
+        self._round = self._round_host         # host wrapper: overflow gate
+
+    def _example_record(self) -> dict:
+        cfg = self.cfg
+        s = cfg.store_agents or cfg.env.n_agents
+        return {
+            "agg": jnp.zeros((cfg.actor.k, s, cfg.actor.n_s)),
+            "act": jnp.zeros((s, cfg.actor.n_a)),
+        }
+
+    def _collect_fn(self):
+        cfg = self.cfg
+        collect = partial(
+            _collect_episode, self._lcfg, cfg.actor, cfg.mode,
+            cfg.store_agents or cfg.env.n_agents, cfg.env.episode_steps,
+        )
+        if self.mesh is None:
+            return collect
+        return jax.shard_map(
+            collect, mesh=self.mesh,
+            in_specs=(P(), P(), P()), out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+
+    # --- jitted round: collect -> insert -> update scan (one program) ---
+
+    @staticmethod
+    def _round_impl(self, params, opt_state, buffer, key, beta):
+        cfg = self.cfg
+        ro_key, up_key = jax.random.split(key)
+        samples, ep_reward, ovf = self._collect_fn()(params, ro_key, beta)
+        buffer = replay_insert_batch(buffer, samples)
+
+        def one_update(carry, k):
+            params, opt_state = carry
+            batch = replay_sample(buffer, k, cfg.batch_size)
+            loss, grads = jax.value_and_grad(_loss_fn)(params, cfg.actor, batch)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def run_updates(args):
+            params, opt_state = args
+            keys = jax.random.split(up_key, cfg.updates_per_episode)
+            (params, opt_state), losses = jax.lax.scan(
+                one_update, (params, opt_state), keys
+            )
+            return params, opt_state, jnp.sum(losses)
+
+        params, opt_state, loss_sum = jax.lax.cond(
+            buffer.size > cfg.batch_size,
+            run_updates,
+            lambda args: (args[0], args[1], jnp.zeros(())),
+            (params, opt_state),
+        )
+        return params, opt_state, buffer, ep_reward, loss_sum, ovf
+
+    def _round_host(self, params, opt_state, buffer, key, beta):
+        params, opt_state, buffer, ep_reward, loss_sum, ovf = self._round_jit(
+            params, opt_state, buffer, key, beta
+        )
+        ovf = int(ovf)                        # host sync: exactness gate
+        if ovf:
+            raise RuntimeError(
+                f"neighbor-structure overflow={ovf} during collection — "
+                f"the episode dropped radius neighbors (cell over capacity "
+                f"or agent outside the static grid extent); raise "
+                f"cell_margin. Training on a truncated graph is invalid."
+            )
+        return params, opt_state, buffer, ep_reward, loss_sum
+
+    # --- eval: greedy rollout_large episodes (host loop — each episode is
+    #     seconds long at these N; vmapping them would multiply peak HBM) ---
+
+    def evaluate(self):
+        cfg = self.cfg
+        rewards = []
+        for _ in range(cfg.n_test_episodes):
+            r, _x, ovf = rollout_large(
+                self.params, cfg.actor, self._next_key(), self._lcfg.params,
+                mesh=self.mesh, path=self._lcfg.path,
+                cell_margin=cfg.cell_margin, return_overflow=True,
+            )
+            tot = float(np.asarray(r).sum())
+            if int(ovf) or not np.isfinite(tot):
+                raise RuntimeError(
+                    f"eval episode overflow={int(ovf)} reward={tot} — "
+                    f"invalid rollout, refusing to score it"
+                )
+            rewards.append(tot)
+        return float(np.mean(rewards)), float(np.std(rewards))
+
+
+def train_dagger_large(cfg: ExperimentConfig, logger=None, save_path=None,
+                       state_path=None, checkpoint_every=0) -> dict:
+    learner = LargeNImitationLearner(
+        LargeNImitationConfig.from_experiment(cfg, mode="dagger"), logger
+    )
+    return learner.train(save_path, state_path, checkpoint_every)
+
+
+def train_cloning_large(cfg: ExperimentConfig, logger=None, save_path=None,
+                        state_path=None, checkpoint_every=0) -> dict:
+    learner = LargeNImitationLearner(
+        LargeNImitationConfig.from_experiment(cfg, mode="cloning"), logger
+    )
+    return learner.train(save_path, state_path, checkpoint_every)

@@ -1,0 +1,142 @@
+"""Large-N imitation trainer (algos/imitation_large.py): collection
+semantics, exactness gate, mesh parity, and resume — all at toy sizes on
+the CPU (the real-scale runs live in results/; see RESULTS.md §8)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from multiagent_gnn_policies_tpu.algos.imitation_large import (
+    LargeNImitationConfig,
+    LargeNImitationLearner,
+    _collect_episode,
+)
+from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.models.actor import ActorConfig, init_actor
+from multiagent_gnn_policies_tpu.parallel.large_n import (
+    LargeNConfig,
+    pick_block,
+    rollout_large,
+)
+
+
+def _cfg(n=128, mode="dagger", path="blocked", **kw):
+    d = dict(
+        mode=mode,
+        actor=ActorConfig(n_s=6, n_a=2, hidden=(8,), k=3, ind_agg=0),
+        env_name="FlockingRelative-v0",
+        env=FlockingParams(n_agents=n, episode_steps=10),
+        batch_size=4, buffer_size=64, updates_per_episode=3,
+        n_train_episodes=4, test_interval=2, n_test_episodes=2,
+        seed=5, store_agents=32, graph_path=path,
+    )
+    d.update(kw)
+    return LargeNImitationConfig(**d)
+
+
+def test_from_experiment_roundtrip():
+    from multiagent_gnn_policies_tpu.utils.config import ExperimentConfig
+
+    x = ExperimentConfig(n_agents=5000, alg="dagger")
+    c = LargeNImitationConfig.from_experiment(x)
+    assert c.store_agents == 4096 and c.graph_path == "auto"
+    assert c.env.n_agents == 5000 and c.actor.k == x.k
+    x2 = dataclasses.replace(x, store_agents=512, graph_path="pcells")
+    c2 = LargeNImitationConfig.from_experiment(x2)
+    assert c2.store_agents == 512 and c2.graph_path == "pcells"
+
+
+def test_cloning_collection_matches_expert_rollout():
+    """mode="cloning" rolls the expert; with dynamics_noise == 0 the
+    trajectory is a pure function of the reset key, so the episode reward
+    must equal rollout_large's expert_mode episode under the same key."""
+    p = FlockingParams(n_agents=96, episode_steps=12)
+    lcfg = LargeNConfig(params=p, block=pick_block(96), rows=96,
+                        axis=None, path="blocked")
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(8,), k=3, ind_agg=0)
+    params = init_actor(jax.random.key(0), acfg)
+    key = jax.random.key(42)
+    samples, ep_r, ovf = jax.jit(
+        lambda pp, kk: _collect_episode(lcfg, acfg, "cloning", 96, 12,
+                                        pp, kk, jnp.ones(()))
+    )(params, key)
+    r_ref, _, ovf_ref = rollout_large(
+        None, None, key, p, expert_mode=True, path="blocked",
+        return_overflow=True,
+    )
+    np.testing.assert_allclose(float(ep_r), float(np.sum(np.asarray(r_ref))),
+                               rtol=1e-6)
+    assert int(ovf) == 0
+    assert samples["agg"].shape == (12, 3, 96, 6)
+    assert samples["act"].shape == (12, 96, 2)
+    assert np.all(np.isfinite(np.asarray(samples["agg"])))
+
+
+def test_trains_and_buffer_fills():
+    lrn = LargeNImitationLearner(_cfg())
+    stats = lrn.train()
+    assert np.isfinite(stats["mean"]) and np.isfinite(stats["std"])
+    assert int(lrn.buffer.size) == 4 * 10       # every step stored
+    rec = lrn.buffer.data["agg"]
+    assert rec.shape[1:] == (3, 32, 6)          # subsampled records
+
+
+def test_pcells_path_smoke():
+    """The pcells branch (grid-hist carry, banded kernels in interpret
+    mode) collects and trains a round at tiny N."""
+    lrn = LargeNImitationLearner(
+        _cfg(n=192, path="pcells", n_train_episodes=1,
+             env=FlockingParams(n_agents=192, episode_steps=4))
+    )
+    stats = lrn.train()
+    assert np.isfinite(stats["mean"])
+
+
+def test_mesh_round_matches_single_device():
+    """One full training round (collect + insert + updates) sharded over a
+    2-device mesh must reproduce the single-device round's params."""
+    single = LargeNImitationLearner(_cfg(n=64, store_agents=16))
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs), axis_names=("agents",))
+    sharded = LargeNImitationLearner(_cfg(n=64, store_agents=16), mesh=mesh)
+
+    for lrn in (single, sharded):
+        lrn.train(state_path=None)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(single.params),
+        jax.tree_util.tree_leaves(sharded.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # and the evals agree
+    m1, _ = single.evaluate()
+    m2, _ = sharded.evaluate()
+    np.testing.assert_allclose(m1, m2, rtol=1e-4)
+
+
+def test_resume_inherited(tmp_path):
+    """Checkpoint/resume must work through the inherited machinery with
+    the subsampled buffer shapes."""
+    state = str(tmp_path / "state.npz")
+    full = LargeNImitationLearner(_cfg())
+    full.train()
+
+    part = LargeNImitationLearner(_cfg())
+    out = part.train(state_path=state, stop_after=2)
+    assert out["interrupted"]
+    rest = LargeNImitationLearner(_cfg())
+    rest.train(state_path=state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.params),
+        jax.tree_util.tree_leaves(rest.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

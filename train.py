@@ -55,6 +55,18 @@ def run_experiment(section, metrics_path=None, state_dir=None,
         "cloning": train_cloning,
         "baseline": train_baseline,
     }
+    use_large = cfg.trainer == "large" or (
+        cfg.trainer == "auto" and cfg.n_agents > 1024
+    )
+    if use_large and cfg.alg in ("dagger", "cloning"):
+        # large-N trainer: O(N) cell-path collection + subsampled replay
+        # (the dense (K,N,N) representation is unusable at these N)
+        from multiagent_gnn_policies_tpu.algos.imitation_large import (
+            train_cloning_large,
+            train_dagger_large,
+        )
+        trainers["dagger"] = train_dagger_large
+        trainers["cloning"] = train_cloning_large
     if cfg.alg == "ddpg":
         from multiagent_gnn_policies_tpu.algos.ddpg import train_ddpg
         trainers["ddpg"] = train_ddpg
@@ -73,7 +85,7 @@ def run_experiment(section, metrics_path=None, state_dir=None,
         else contextlib.nullcontext()   # no-op; keeps the compile-cache key
     )
     extra = {}
-    if state_dir and cfg.alg in ("dagger", "cloning"):
+    if state_dir and cfg.alg in ("dagger", "cloning", "ddpg"):
         # full-training-state checkpointing: crash-safe restart per section
         os.makedirs(state_dir, exist_ok=True)
         extra = {
