@@ -98,6 +98,8 @@ class LargeNConfig(NamedTuple):
     cap: int = 32        # per-cell capacity (binned path)
     cell_spec: Optional[tuple] = None  # ops/cells.py:CellSpec (cells path)
     n_dev: int = 1       # mesh axis size (grid-row partition, cell paths)
+    emulated: bool = False  # force_n_dev band-timing mode (collectives are
+                            # shape-emulated locally; results NOT valid)
 
 
 def _row_range(cfg: LargeNConfig):
@@ -132,11 +134,20 @@ def _frame(cfg: LargeNConfig, x, centralized):
     if cfg.path == "pcells":
         from multiagent_gnn_policies_tpu.ops.pallas_cells import (
             build_pcell_grid,
+            build_pcell_grid_sharded,
             frame as pcells_frame,
         )
 
         crr, ax = _cell_row_range(cfg)
-        nl = build_pcell_grid(x[:, :2], cfg.cell_spec)
+        if ax is not None and x.shape[0] % cfg.n_dev == 0:
+            # shard the build's argsort over the mesh (the dominant term
+            # of the replicated-work floor — build_pcell_grid_sharded)
+            nl = build_pcell_grid_sharded(
+                x[:, :2], cfg.cell_spec, ax, cfg.n_dev,
+                emulated=cfg.emulated,
+            )
+        else:
+            nl = build_pcell_grid(x[:, :2], cfg.cell_spec)
         fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized,
                           row_range=crr, axis_name=ax)
     elif cfg.path == "cells":
@@ -266,17 +277,11 @@ def _reset(cfg: LargeNConfig, key: jax.Array, centralized: bool = False):
     return x, fq, nl
 
 
-def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
-                  key: jax.Array, T: int, expert_mode: bool,
-                  centralized: bool):
-    """The fused rollout: reset + lax.scan of T steps. Runs identically
-    single-device or inside shard_map (collectives gated on cfg.axis).
-
-    Returns ``(rewards (T,), final_x, overflow)`` — overflow is the max
-    per-step neighbor-table overflow count of the sparse path (always 0 on
-    the dense paths; SURVEY §7 "no silent truncation")."""
+def _episode_init(cfg: LargeNConfig, acfg: Optional[ActorConfig],
+                  key: jax.Array, expert_mode: bool, centralized: bool):
+    """Reset + initial episode-state pytree (the lax.scan carry)."""
     p = cfg.params
-    reset_key, noise_key = jax.random.split(key)
+    reset_key, _ = jax.random.split(key)
     x, fq, nl = _reset(cfg, reset_key, centralized=centralized)
     k = acfg.k if acfg else 1
     carry = delay_carry_init(fq.values, p.n_agents, k)
@@ -287,6 +292,18 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
     # exact: the matching history slots are zero until step >= k anyway)
     n_gh = k - 2 if (cfg.path == "pcells" and not expert_mode) else 0
     gh = tuple(nl for _ in range(n_gh))
+    return (x, carry, fq, nl, gh, ovf)
+
+
+def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
+                state, step_keys, expert_mode: bool, centralized: bool,
+                traj_agents: int = 0):
+    """``lax.scan`` of len(step_keys) env steps from ``state``; returns
+    ``(state', per-step outputs)``. The chunked 1M-agent episode runs this
+    as several jit calls with the state crossing the host boundary."""
+    p = cfg.params
+    sparse = cfg.path in ("binned", "cells", "pcells")
+    n_gh = len(state[4])
 
     def body(state, step_key):
         x, carry, fq, nl, gh, ovf = state
@@ -305,12 +322,39 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
             deg_prev=fq.degree if carry.deg_hist.shape[0] else None,
         )
         gh2 = (nl,) + gh[:-1] if n_gh else gh
-        return (x2, carry2, fq2, nl2, gh2, ovf), _reward(x2)
+        out = _reward(x2)
+        if traj_agents:
+            stride = max(p.n_agents // traj_agents, 1)
+            out = (out, x2[jnp.arange(traj_agents) * stride])
+        return (x2, carry2, fq2, nl2, gh2, ovf), out
 
-    (x, _, _, _, _, ovf), rewards = jax.lax.scan(
-        body, (x, carry, fq, nl, gh, ovf), jax.random.split(noise_key, T)
+    return jax.lax.scan(body, state, step_keys)
+
+
+def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
+                  key: jax.Array, T: int, expert_mode: bool,
+                  centralized: bool, traj_agents: int = 0):
+    """The fused rollout: reset + lax.scan of T steps. Runs identically
+    single-device or inside shard_map (collectives gated on cfg.axis).
+
+    Returns ``(rewards (T,), final_x, overflow)`` — overflow is the max
+    per-step neighbor-table overflow count of the sparse path (always 0 on
+    the dense paths; SURVEY §7 "no silent truncation"). With
+    ``traj_agents = M > 0`` a fourth output records an index-strided
+    M-agent subset's states per step ((T, M, 4) — the visualization dump;
+    the stride covers the lattice init's radial ordering, so the subset
+    spans the whole disc)."""
+    _, noise_key = jax.random.split(key)
+    state = _episode_init(cfg, acfg, key, expert_mode, centralized)
+    state, out = _scan_steps(
+        cfg, acfg, params, state, jax.random.split(noise_key, T),
+        expert_mode, centralized, traj_agents,
     )
-    return rewards, x, ovf
+    x, ovf = state[0], state[5]
+    if traj_agents:
+        rewards, traj = out
+        return rewards, x, ovf, traj
+    return out, x, ovf
 
 
 def rollout_large(
@@ -329,6 +373,8 @@ def rollout_large(
     cell_margin: float = 1.3,
     return_overflow: bool = False,
     force_n_dev: Optional[int] = None,
+    traj_agents: int = 0,
+    scan_chunks: int = 1,
 ) -> Tuple[jax.Array, ...]:
     """One greedy episode at scale. Returns ``(rewards (T,), final_x)``
     (plus the sparse paths' max neighbor-structure overflow count when
@@ -417,15 +463,68 @@ def rollout_large(
         params=p, block=blk, rows=rows,
         axis=axis if mesh is not None else None,
         path=path, cap=cap or 32, cell_spec=cell_spec, n_dev=n_dev,
+        emulated=(force_n_dev is not None
+                  and force_n_dev != mesh.shape[axis]),
     )
-    out = _jitted_rollout(
-        cfg, acfg, p.episode_steps, expert_mode, centralized_expert, mesh
-    )(params, key)
+    if scan_chunks > 1:
+        # Chunked episode: C jitted scans with the episode state crossing
+        # the host boundary between them. Bitwise-identical to the single
+        # scan (same reset key, same per-step key stream — asserted in
+        # tests/test_large_n_lattice.py); what it buys is a bounded
+        # program: the N=1M single-scan episode crashes the TPU worker at
+        # T=200 from peak-HBM pressure, while T=50 chunks run (r3 VERDICT
+        # weak #5). Costs C-1 extra dispatches (~0.1 s total).
+        init_fn, chunk_fn = _jitted_chunked(
+            cfg, acfg, expert_mode, centralized_expert, mesh, traj_agents
+        )
+        T = p.episode_steps
+        state = init_fn(key)
+        noise_key = jax.random.split(key)[1]
+        step_keys = jax.random.split(noise_key, T)
+        outs = []
+        clen = -(-T // scan_chunks)
+        for c0 in range(0, T, clen):
+            state, o = chunk_fn(params, state, step_keys[c0:c0 + clen])
+            outs.append(o)
+        cat = lambda xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs])
+        if traj_agents:
+            rewards = cat([o[0] for o in outs])
+            traj = jnp.concatenate([o[1] for o in outs])
+        else:
+            rewards = cat(outs)
+        x, ovf = state[0], state[5]
+        out = (rewards, x, ovf) + ((traj,) if traj_agents else ())
+    else:
+        out = _jitted_rollout(
+            cfg, acfg, p.episode_steps, expert_mode, centralized_expert,
+            mesh, traj_agents,
+        )(params, key)
+    if traj_agents:
+        return out if return_overflow else (out[0], out[1], out[3])
     return out if return_overflow else out[:2]
 
 
 @lru_cache(maxsize=64)
-def _jitted_rollout(cfg, acfg, T, expert_mode, centralized, mesh):
+def _jitted_chunked(cfg, acfg, expert_mode, centralized, mesh, traj_agents):
+    """Jitted (init, chunk) pair for the chunked episode (lru-cached per
+    static setup, like _jitted_rollout)."""
+    init = partial(_episode_init, cfg, acfg,
+                   expert_mode=expert_mode, centralized=centralized)
+    chunk = partial(_scan_steps, cfg, acfg,
+                    expert_mode=expert_mode, centralized=centralized,
+                    traj_agents=traj_agents)
+    if mesh is None:
+        return jax.jit(init), jax.jit(chunk)
+    sh_init = jax.shard_map(init, mesh=mesh, in_specs=(P(),),
+                            out_specs=P(), check_vma=False)
+    sh_chunk = jax.shard_map(chunk, mesh=mesh, in_specs=(P(), P(), P()),
+                             out_specs=P(), check_vma=False)
+    return jax.jit(sh_init), jax.jit(sh_chunk)
+
+
+@lru_cache(maxsize=64)
+def _jitted_rollout(cfg, acfg, T, expert_mode, centralized, mesh,
+                    traj_agents=0):
     """Cache the jitted episode per static setup — re-wrapping ``jax.jit``
     every call would pay full Python retracing per episode (measured ~10 s
     at N=10k on the cells path; XLA's compile cache does not cover
@@ -433,12 +532,14 @@ def _jitted_rollout(cfg, acfg, T, expert_mode, centralized, mesh):
     run = partial(
         _rollout_body, cfg, acfg,
         T=T, expert_mode=expert_mode, centralized=centralized,
+        traj_agents=traj_agents,
     )
     if mesh is None:
         return jax.jit(run)
+    n_out = 4 if traj_agents else 3
     sharded = jax.shard_map(
         run, mesh=mesh,
-        in_specs=(P(), P()), out_specs=(P(), P(), P()),
+        in_specs=(P(), P()), out_specs=(P(),) * n_out,
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -27,14 +27,23 @@ def _flatten(tree: Any):
 
 
 def save(path: str, tree: Any) -> None:
-    """Save an arbitrary pytree of arrays/scalars to ``path`` (.npz)."""
+    """Save an arbitrary pytree of arrays/scalars to ``path`` (.npz).
+
+    Atomic: written to a temp file in the same directory, then renamed —
+    a large-N training-state checkpoint is gigabytes (the replay buffer)
+    and takes minutes to fetch+write, so a preemption mid-save must leave
+    the previous good checkpoint intact, not a truncated archive that the
+    next resume crashes on."""
     leaves, treedef = _flatten(tree)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         json.dumps(str(treedef)).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load(path: str, like: Any) -> Any:

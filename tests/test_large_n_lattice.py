@@ -92,3 +92,26 @@ def test_pcells_apply_adjT_parity_lattice(lattice_state):
     want = blocked_apply_adjT(x[:, :2], cols, P, block=128, deg=deg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("scan_chunks,traj", [(3, 0), (4, 16)])
+def test_chunked_episode_bitwise_parity(scan_chunks, traj):
+    """scan_chunks splits the episode into several jitted scans with the
+    state crossing the host boundary — same reset key, same per-step key
+    stream, so rewards/final state/trajectory must match the single-scan
+    episode exactly (what lets the N=1M T=200 episode fit the worker)."""
+    from multiagent_gnn_policies_tpu.models.actor import (
+        ActorConfig,
+        init_actor,
+    )
+    from multiagent_gnn_policies_tpu.parallel.large_n import rollout_large
+
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(8,), k=3, ind_agg=0)
+    params = init_actor(jax.random.key(0), acfg)
+    p = FlockingParams(n_agents=96, episode_steps=10, max_resets=4)
+    kw = dict(path="blocked", return_overflow=True, traj_agents=traj)
+    out1 = rollout_large(params, acfg, jax.random.key(7), p, **kw)
+    out2 = rollout_large(params, acfg, jax.random.key(7), p,
+                         scan_chunks=scan_chunks, **kw)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -184,6 +184,59 @@ def test_rollout_large_pcells_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-5)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_grid_build_bitwise(n_dev):
+    """build_pcell_grid_sharded (per-device 1/D argsort + per-cell base
+    offsets) must reproduce the replicated build's packing BITWISE —
+    contiguous ascending index slices make local-rank + base identical to
+    the global stable sort's rank."""
+    from jax.sharding import Mesh, PartitionSpec as SP
+    from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+        build_pcell_grid_sharded,
+    )
+
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        pytest.skip(f"needs {n_dev} devices")
+    mesh = Mesh(np.asarray(devs[:n_dev]), axis_names=("agents",))
+    n = 128
+    # heavy clustering so some cells overflow (rank >= cap drops exercised)
+    x = _state(jax.random.key(5), n=n, spread=1.2)
+    spec = make_pcell_spec(FlockingParams(n_agents=n), cap=8)
+    want = build_pcell_grid(x[:, :2], spec)
+    got = jax.jit(jax.shard_map(
+        lambda pos: build_pcell_grid_sharded(pos, spec, "agents", n_dev),
+        mesh=mesh, in_specs=SP(), out_specs=SP(), check_vma=False,
+    ))(x[:, :2])
+    for field in ("slot", "agent", "row_count", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)), np.asarray(getattr(want, field)),
+            err_msg=field,
+        )
+
+
+def test_rollout_large_sharded_build_matches_single():
+    """End-to-end mesh rollout with N divisible by the mesh (so the
+    sharded grid build engages, not the fallback) == single device."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.asarray(devs[:2]), axis_names=("agents",))
+    acfg = ActorConfig(n_s=6, n_a=2, hidden=(8,), k=3, ind_agg=0)
+    params = init_actor(jax.random.key(0), acfg)
+    p = FlockingParams(n_agents=64, episode_steps=6, max_resets=4)
+    r1, x1 = rollout_large(params, acfg, jax.random.key(3), p,
+                           path="pcells")
+    r2, x2, ovf = rollout_large(params, acfg, jax.random.key(3), p,
+                                path="pcells", mesh=mesh,
+                                return_overflow=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-5)
+
+
 @pytest.mark.parametrize("max_cols", [1, 2, 5])
 def test_ystack_column_chunking_parity(max_cols):
     """The HBM-ceiling chunked apply (max_cols) is exact: splitting the
