@@ -75,10 +75,13 @@ from multiagent_gnn_policies_tpu.ops.blocked import (
 )
 from multiagent_gnn_policies_tpu.parallel.large_n import (
     LargeNConfig,
+    _cell_row_range,
     _dynamics,
     _frame,
     _reset,
     _reward,
+    _s0_cols,
+    _use_fused,
     _ystack,
     pick_block,
     rollout_large,
@@ -144,11 +147,26 @@ def _collect_episode(
     ovf = nl.overflow if sparse else jnp.zeros((), jnp.int32)
     n_gh = k - 2 if cfg.path == "pcells" else 0
     gh = tuple(nl for _ in range(n_gh))
+    fused = _use_fused(cfg, acfg, expert_mode=False)
+    if fused:
+        s0 = jnp.zeros((p.n_agents, (k - 1) * carry.history.shape[-1]))
+    else:
+        s0 = jnp.zeros(())
 
     def body(state, keys):
         step_key, coin_key, idx_key = keys
-        x, carry, fq, nl, gh, ovf = state
-        y = _ystack(cfg, carry, x, fq.degree, nl, grid_hist=gh or None)
+        x, carry, fq, nl, gh, s0, ovf = state
+        if fused:
+            from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+                ystack_pre,
+            )
+
+            crr, ax = _cell_row_range(cfg)
+            y = ystack_pre(carry, s0, cfg.cell_spec, p,
+                           grid_hist=gh or None, row_range=crr,
+                           axis_name=ax)
+        else:
+            y = _ystack(cfg, carry, x, fq.degree, nl, grid_hist=gh or None)
         expert = fq.expert
         if mode == "cloning":
             act = expert                       # expert-only rollout
@@ -161,7 +179,12 @@ def _collect_episode(
         sample = {"agg": y[:, idx, :], "act": expert[idx]}
         pos_prev = x[:, :2]
         x2 = _dynamics(x, act, p, step_key)
-        fq2, nl2 = _frame(cfg, x2, True)
+        if fused:
+            fq2, nl2, s02 = _frame(cfg, x2, True,
+                                   apply_cols=_s0_cols(carry))
+        else:
+            fq2, nl2 = _frame(cfg, x2, True)
+            s02 = s0
         if sparse:
             ovf = jnp.maximum(ovf, nl2.overflow)
         carry2 = delay_carry_update(
@@ -169,12 +192,12 @@ def _collect_episode(
             deg_prev=fq.degree if carry.deg_hist.shape[0] else None,
         )
         gh2 = (nl,) + gh[:-1] if n_gh else gh
-        return (x2, carry2, fq2, nl2, gh2, ovf), (sample, _reward(x2))
+        return (x2, carry2, fq2, nl2, gh2, s02, ovf), (sample, _reward(x2))
 
     keys = tuple(jax.random.split(k_, T)
                  for k_ in jax.random.split(scan_key, 3))
-    (_, _, _, _, _, ovf), (samples, rewards) = jax.lax.scan(
-        body, (x, carry, fq, nl, gh, ovf), keys
+    (*_, ovf), (samples, rewards) = jax.lax.scan(
+        body, (x, carry, fq, nl, gh, s0, ovf), keys
     )
     return samples, jnp.sum(rewards), ovf
 

@@ -482,6 +482,58 @@ def _apply_kernel(
         out_ref[0] = jnp.concatenate(accs, axis=0)
 
 
+def _apply_deg_kernel(
+    rowcnt_ref,                 # (cx,) int32
+    prev_ref, cur_ref, next_ref,  # (1, (5 + C)·cap, cy_pad):
+                                #   x|y|vx|vy|valid|cols (cols RAW)
+    dprev_ref, dcur_ref, dnext_ref,  # (1, 10·cap, cy_pad): frame outputs
+                                #   (halo-padded); degree at [6·cap:7·cap]
+    out_ref,                    # (1, C·cap, cy_pad)
+    *, cap: int, c: int, r2cut: float,
+):
+    """The adjacency transpose-apply reading the candidate's degree from
+    the frame kernel's OUTPUT in slot layout — the second pass of the
+    fused frame+apply sweep (:func:`frame_apply`). Unlike
+    :func:`_apply_kernel` the columns are packed RAW (the /deg_j
+    normalization needs deg of the same new graph, which only exists
+    after the frame pass) and divided here via the neighbor's slot."""
+    i = pl.program_id(0)
+
+    @pl.when(rowcnt_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(rowcnt_ref[i] > 0)
+    def _():
+        cur = cur_ref[0]
+        sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
+        sval = _expand_a(cur[4 * cap:5 * cap], cap)
+        lane = sx.shape[-1]
+        r = jax.lax.broadcasted_iota(jnp.int32, (cap * cap, lane), 0)
+        not_self = (r // cap != r % cap)
+
+        accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(c)]
+        rows = (prev_ref, cur_ref, next_ref)
+        drows = (dprev_ref, dcur_ref, dnext_ref)
+        for dx, dy in _OFFS:
+            nb = _lane_shift(rows[dx][0], dy)
+            db = _lane_shift(drows[dx][0], dy)
+            nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
+            ok = sval * _expand_b(nb[4 * cap:5 * cap], cap)
+            if dx == 1 and dy == 0:
+                ok = jnp.where(not_self, ok, 0.0)
+            dxp, dyp = sx - nx, sy - ny
+            m = jnp.where(dxp * dxp + dyp * dyp < r2cut, ok, 0.0)
+            inv_deg = 1.0 / jnp.maximum(
+                _expand_b(db[6 * cap:7 * cap], cap), 1.0
+            )
+            mw = m * inv_deg
+            for q in range(c):
+                w = _expand_b(nb[(5 + q) * cap:(6 + q) * cap], cap)
+                accs[q] = accs[q] + _group_sum(mw * w, cap)
+        out_ref[0] = jnp.concatenate(accs, axis=0)
+
+
 def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
            row_range=None):
     """Shared pallas_call plumbing: one program per grid row; each reads
@@ -519,6 +571,44 @@ def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
         ),
         interpret=interpret,
     )(rowcnt, packed, packed, packed)
+    return out
+
+
+def _sweep_deg(kernel, grid_rows, rowcnt, packed, frame_pad, out_channels,
+               interpret, row_range=None):
+    """:func:`_sweep` plumbing for the fused apply pass: two banded inputs
+    (the packed agent table and the halo-padded frame output)."""
+    _, ch_cap, cyp = packed.shape
+    _, fch, _ = frame_pad.shape
+    if row_range is not None:
+        start, local = row_range
+        rowcnt = jax.lax.dynamic_slice(rowcnt, (start,), (local,))
+        grid_rows = local
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_rows,),
+            in_specs=[
+                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i + 1, 0, 0)),
+                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i + 2, 0, 0)),
+                pl.BlockSpec((1, fch, cyp), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, fch, cyp), lambda i, s: (i + 1, 0, 0)),
+                pl.BlockSpec((1, fch, cyp), lambda i, s: (i + 2, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, out_channels, cyp), lambda i, s: (i, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_rows, out_channels, cyp), packed.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()
+        ),
+        interpret=interpret,
+    )(rowcnt, packed, packed, packed, frame_pad, frame_pad, frame_pad)
     return out
 
 
@@ -583,6 +673,101 @@ def frame(
     return FrameQuantities(
         values=per[:, :6], degree=per[:, 6], expert=expert, min_r2=min_r2,
     )
+
+
+def frame_apply(
+    x: jax.Array,
+    cols: jax.Array,
+    grid: PCellGrid,
+    spec: PCellSpec,
+    p: FlockingParams,
+    centralized: bool = True,
+    interpret: Optional[bool] = None,
+    row_range=None,
+    axis_name: Optional[str] = None,
+    halo_devices: int = 0,
+):
+    """Fused frame + adjacency transpose-apply over ONE packed table.
+
+    Computes :func:`frame`'s quantities AND ``out[i] = sum_{j in nbr(i)}
+    cols[j] / deg_j`` for the SAME new graph in one sweep invocation:
+    the agent table ``[x | valid | cols]`` is packed once (the pack chain
+    — slot gather + layout transpose — measured ~4.5 ms of the 39.7 ms
+    N=100k step, and the rollout paid it twice per step: once for the
+    frame, once for the y-stack's s=0 apply on the same graph), the frame
+    kernel runs first, and :func:`_apply_deg_kernel` reads the candidate
+    degrees it needs straight from the frame's packed output (the /deg_j
+    normalization is why the apply could not precede the frame). Used by
+    the rollout to pre-compute the NEXT step's s=0 delayed apply at frame
+    time (parallel/large_n.py; the columns are the delayed feature slots,
+    known before the step's carry update).
+
+    Returns ``(FrameQuantities, (N, C) applied columns)``. Banded
+    multi-chip mode (``row_range``/``axis_name``) completes both with a
+    single psum; the apply pass additionally needs the FRAME output of
+    the two halo grid rows (a candidate in the neighbor device's edge row
+    contributes ``cols_j / deg_j`` with deg_j computed over there), which
+    ``halo_devices = D`` fetches with a one-row ``ppermute`` each way
+    (~the row's slot size on the interconnect; devices at the grid edge
+    receive ppermute's zero fill, exactly right for the empty margin
+    rows). ``halo_devices = 0`` skips the exchange (single-device, or the
+    force_n_dev timing emulation where collectives are excluded).
+    """
+    from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = x.shape[0]
+    c = cols.shape[-1]
+    valid = jnp.ones((n, 1), x.dtype)
+    packed = _pack(grid, spec, jnp.concatenate([x, valid, cols], axis=-1),
+                   row_range=row_range)
+    fkernel = functools.partial(
+        _frame_kernel, cap=spec.cap,
+        r2cut=float(p.comm_radius) ** 2, centralized=centralized,
+    )
+    fout = _sweep(fkernel, spec.cx, grid.row_count, packed,
+                  10 * spec.cap, interpret, row_range=row_range)
+    if axis_name is not None and halo_devices > 1:
+        # halo exchange: my top halo row is the lower neighbor's LAST
+        # swept row, my bottom halo the upper neighbor's FIRST
+        down = [(d, d + 1) for d in range(halo_devices - 1)]
+        up = [(d + 1, d) for d in range(halo_devices - 1)]
+        top = jax.lax.ppermute(fout[-1:], axis_name, down)
+        bot = jax.lax.ppermute(fout[:1], axis_name, up)
+        fpad = jnp.concatenate([top, fout, bot], axis=0)
+    else:
+        # zeros each side: the apply pass reads neighbor degrees at rows
+        # i-1 / i+1 (zero deg -> max(deg,1) guard, m == 0 for pad rows)
+        fpad = jnp.pad(fout, ((1, 1), (0, 0), (0, 0)))
+    akernel = functools.partial(
+        _apply_deg_kernel, cap=spec.cap, c=c,
+        r2cut=float(p.comm_radius) ** 2,
+    )
+    aout = _sweep_deg(akernel, spec.cx, grid.row_count, packed, fpad,
+                      c * spec.cap, interpret, row_range=row_range)
+    both = jnp.concatenate([fout, aout], axis=1)   # (rows, (10+C)·cap, cyp)
+    if axis_name is not None:
+        per = jax.lax.psum(
+            _unpack_band(grid, spec, both, row_range[0]), axis_name
+        )                                          # (N, 10 + C)
+        min_r2 = jnp.min(jnp.where(grid.slot >= 0, per[:, 9], 1e12))
+    else:
+        per = _unpack(grid, spec, both)
+        min_r2 = jnp.min(_unpack(grid, spec, both, fill=1e12)[:, 9])
+    gxs, gys = per[:, 7], per[:, 8]
+    if centralized:
+        cons = centralized_consensus(x[:, 2:4])
+        ux = -(cons[:, 0] + gxs)
+        uy = -(cons[:, 1] + gys)
+    else:
+        ux = -(per[:, 0] + gxs)
+        uy = -(per[:, 3] + gys)
+    expert = jnp.clip(jnp.stack([ux, uy], -1), -10.0, 10.0)
+    fq = FrameQuantities(
+        values=per[:, :6], degree=per[:, 6], expert=expert, min_r2=min_r2,
+    )
+    return fq, per[:, 10:]
 
 
 def apply_adjT(
@@ -677,6 +862,44 @@ def ystack(
                 row_range=row_range, axis_name=axis_name,
             ))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        v = v.at[s:].set(
+            jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2))
+        )
+        y.append(v[s])
+    return jnp.stack(y)
+
+
+def ystack_pre(
+    carry,
+    s0_out: jax.Array,
+    spec: PCellSpec,
+    p: FlockingParams,
+    grid_hist: Optional[tuple] = None,
+    row_range=None,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """:func:`ystack` with the s=0 (current-graph) transpose-apply already
+    done — ``s0_out`` is :func:`frame_apply`'s applied columns from the
+    previous step's fused frame pass (same column layout ystack's s=0
+    produces: ``transpose(v).reshape(n, (k-1)·F)``). Only the historical
+    graphs' applies (s >= 1) remain."""
+    k = carry.history.shape[0]
+    n, f = carry.history.shape[1:]
+    y = [carry.history[0]]
+    if k == 1:
+        return jnp.stack(y)
+    v = jnp.transpose(s0_out.reshape(n, k - 1, f), (1, 0, 2))
+    y.append(v[0])
+    for s in range(1, k - 1):
+        pos_s, deg_s = carry.pos_hist[s - 1], carry.deg_hist[s - 1]
+        grid_s = grid_hist[s - 1] if grid_hist is not None else None
+        if grid_s is None:
+            grid_s = build_pcell_grid(pos_s, spec)
+        cols = jnp.transpose(v[s:], (1, 0, 2)).reshape(n, (k - 1 - s) * f)
+        out = apply_adjT(
+            pos_s, deg_s, cols, spec, p, grid=grid_s,
+            row_range=row_range, axis_name=axis_name,
+        )
         v = v.at[s:].set(
             jnp.transpose(out.reshape(n, k - 1 - s, f), (1, 0, 2))
         )

@@ -102,6 +102,23 @@ class LargeNConfig(NamedTuple):
                             # shape-emulated locally; results NOT valid)
 
 
+def _use_fused(cfg: LargeNConfig, acfg, expert_mode: bool) -> bool:
+    """Fused frame+s0-apply applies on the pcells policy path with K >= 2
+    below the HBM-ceiling regime (above ~300k agents the y-stack chunks
+    its columns — ops/pallas_cells.py:ystack max_cols — which the fused
+    single-pack sweep cannot, so those sizes keep the split passes)."""
+    return (cfg.path == "pcells" and not expert_mode
+            and acfg is not None and acfg.k >= 2
+            and cfg.params.n_agents <= 300_000)
+
+
+def _s0_cols(carry) -> jax.Array:
+    """The next step's s=0 apply columns: delayed feature slots
+    [x_t, ..., x_{t-K+2}] flattened in ystack's column layout."""
+    k_1, n, f = carry.history.shape[0] - 1, *carry.history.shape[1:]
+    return jnp.transpose(carry.history[:k_1], (1, 0, 2)).reshape(n, k_1 * f)
+
+
 def _row_range(cfg: LargeNConfig):
     if cfg.axis is None:
         return None
@@ -120,13 +137,20 @@ def _cell_row_range(cfg: LargeNConfig):
     return (d * local, local), cfg.axis
 
 
-def _frame(cfg: LargeNConfig, x, centralized):
+def _frame(cfg: LargeNConfig, x, centralized, apply_cols=None):
     """Frame quantities for the full swarm (regathered if sharded).
 
     Returns ``(fq, aux)`` — ``aux`` is the sparse path's neighbor
     structure (NeighborList or CellGrid; consumed by the y-stack and the
     overflow accounting), or a dummy scalar on the dense paths (so the
     scan carry keeps a fixed pytree).
+
+    ``apply_cols`` (pcells only): also run the fused adjacency
+    transpose-apply of these (N, C) columns over the SAME new graph in
+    the same sweep invocation (ops/pallas_cells.py:frame_apply — one
+    shared pack instead of two), returning ``(fq, aux, applied)``. The
+    rollout uses it to pre-compute the next step's s=0 delayed apply at
+    frame time.
     """
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
@@ -148,6 +172,17 @@ def _frame(cfg: LargeNConfig, x, centralized):
             )
         else:
             nl = build_pcell_grid(x[:, :2], cfg.cell_spec)
+        if apply_cols is not None:
+            from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+                frame_apply,
+            )
+
+            fq, s0 = frame_apply(x, apply_cols, nl, cfg.cell_spec,
+                                 cfg.params, centralized,
+                                 row_range=crr, axis_name=ax,
+                                 halo_devices=0 if cfg.emulated
+                                 else cfg.n_dev)
+            return fq, nl, s0
         fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized,
                           row_range=crr, axis_name=ax)
     elif cfg.path == "cells":
@@ -292,7 +327,14 @@ def _episode_init(cfg: LargeNConfig, acfg: Optional[ActorConfig],
     # exact: the matching history slots are zero until step >= k anyway)
     n_gh = k - 2 if (cfg.path == "pcells" and not expert_mode) else 0
     gh = tuple(nl for _ in range(n_gh))
-    return (x, carry, fq, nl, gh, ovf)
+    if _use_fused(cfg, acfg, expert_mode):
+        # episode-start s=0 pre-apply: history slots 1.. are zeros, so the
+        # applied columns are exactly zero (dense-path episode-boundary
+        # semantics, ops/graph.py)
+        s0 = jnp.zeros((p.n_agents, (k - 1) * carry.history.shape[-1]))
+    else:
+        s0 = jnp.zeros(())          # fixed-pytree dummy
+    return (x, carry, fq, nl, gh, s0, ovf)
 
 
 def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
@@ -304,17 +346,37 @@ def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
     p = cfg.params
     sparse = cfg.path in ("binned", "cells", "pcells")
     n_gh = len(state[4])
+    fused = _use_fused(cfg, acfg, expert_mode)
 
     def body(state, step_key):
-        x, carry, fq, nl, gh, ovf = state
+        x, carry, fq, nl, gh, s0, ovf = state
         if expert_mode:
             action = fq.expert
         else:
-            y = _ystack(cfg, carry, x, fq.degree, nl, grid_hist=gh or None)
+            if fused:
+                from multiagent_gnn_policies_tpu.ops.pallas_cells import (
+                    ystack_pre,
+                )
+
+                crr, ax = _cell_row_range(cfg)
+                y = ystack_pre(carry, s0, cfg.cell_spec, p,
+                               grid_hist=gh or None,
+                               row_range=crr, axis_name=ax)
+            else:
+                y = _ystack(cfg, carry, x, fq.degree, nl,
+                            grid_hist=gh or None)
             action = actor_forward(params, acfg, y, None)
         pos_prev = x[:, :2]
         x2 = _dynamics(x, action, p, step_key)
-        fq2, nl2 = _frame(cfg, x2, centralized)
+        carry2 = None
+        if fused:
+            # pre-apply the NEXT step's s=0 columns in the same fused
+            # sweep that computes the new frame (one shared pack)
+            fq2, nl2, s02 = _frame(cfg, x2, centralized,
+                                   apply_cols=_s0_cols(carry))
+        else:
+            fq2, nl2 = _frame(cfg, x2, centralized)
+            s02 = s0
         if sparse:
             ovf = jnp.maximum(ovf, nl2.overflow)
         carry2 = delay_carry_update(
@@ -326,7 +388,7 @@ def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
         if traj_agents:
             stride = max(p.n_agents // traj_agents, 1)
             out = (out, x2[jnp.arange(traj_agents) * stride])
-        return (x2, carry2, fq2, nl2, gh2, ovf), out
+        return (x2, carry2, fq2, nl2, gh2, s02, ovf), out
 
     return jax.lax.scan(body, state, step_keys)
 
@@ -350,7 +412,7 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
         cfg, acfg, params, state, jax.random.split(noise_key, T),
         expert_mode, centralized, traj_agents,
     )
-    x, ovf = state[0], state[5]
+    x, ovf = state[0], state[6]
     if traj_agents:
         rewards, traj = out
         return rewards, x, ovf, traj
@@ -492,7 +554,7 @@ def rollout_large(
             traj = jnp.concatenate([o[1] for o in outs])
         else:
             rewards = cat(outs)
-        x, ovf = state[0], state[5]
+        x, ovf = state[0], state[6]
         out = (rewards, x, ovf) + ((traj,) if traj_agents else ())
     else:
         out = _jitted_rollout(

@@ -260,3 +260,64 @@ def test_ystack_column_chunking_parity(max_cols):
     want = ystack(carry, grid, x, prev_deg, SPEC, P)
     got = ystack(carry, grid, x, prev_deg, SPEC, P, max_cols=max_cols)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("c", [6, 12])
+def test_frame_apply_fused_parity(c):
+    """frame_apply (one shared pack, degrees read from the frame kernel's
+    packed output) == frame + apply_adjT run separately."""
+    from multiagent_gnn_policies_tpu.ops.pallas_cells import frame_apply
+
+    key = jax.random.key(3)
+    x = _state(key)
+    cols = jax.random.normal(jax.random.fold_in(key, 2), (48, c))
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    fq_want = frame(x, grid, SPEC, P, True)
+    a_want = apply_adjT(x[:, :2], fq_want.degree, cols, SPEC, P, grid)
+    fq_got, a_got = frame_apply(x, cols, grid, SPEC, P, True)
+    for f in ("values", "degree", "expert", "min_r2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fq_got, f)), np.asarray(getattr(fq_want, f)),
+            atol=1e-6, err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(a_got), np.asarray(a_want),
+                               atol=1e-5)
+
+
+def test_frame_apply_fused_parity_banded():
+    """Banded multi-chip frame_apply (grid-row bands + one psum) ==
+    single-device frame_apply, on the virtual mesh."""
+    from jax.sharding import Mesh, PartitionSpec as SP
+    from multiagent_gnn_policies_tpu.ops.pallas_cells import frame_apply
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.asarray(devs[:2]), axis_names=("agents",))
+    n = 64
+    p = FlockingParams(n_agents=n)
+    spec = make_pcell_spec(p, n_dev=2)
+    key = jax.random.key(8)
+    x = _state(key, n=n)
+    cols = jax.random.normal(jax.random.fold_in(key, 1), (n, 6))
+    grid = build_pcell_grid(x[:, :2], spec)
+    fq1, a1 = frame_apply(x, cols, grid, spec, p, True)
+    local = spec.cx // 2
+
+    def run(x, cols):
+        g = build_pcell_grid(x[:, :2], spec)
+        d = jax.lax.axis_index("agents")
+        return frame_apply(x, cols, g, spec, p, True,
+                           row_range=(d * local, local),
+                           axis_name="agents")
+
+    fq2, a2 = jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=(SP(), SP()), out_specs=(SP(), SP()),
+        check_vma=False,
+    ))(x, cols)
+    for f in ("values", "degree", "expert", "min_r2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fq2, f)), np.asarray(getattr(fq1, f)),
+            atol=1e-6, err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
