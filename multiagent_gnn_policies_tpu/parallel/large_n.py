@@ -119,6 +119,40 @@ def _s0_cols(carry) -> jax.Array:
     return jnp.transpose(carry.history[:k_1], (1, 0, 2)).reshape(n, k_1 * f)
 
 
+def _shard_actor_dynamics(cfg: LargeNConfig, acfg, params, y, x,
+                          step_key):
+    """Policy forward + double-integrator step with the AGENT axis
+    index-sliced across the mesh: each device computes only its 1/D slice
+    and an ``all_gather`` reassembles the (N, 4) state (1.6 MB at N=100k —
+    nothing on ICI, against the O(N) per-device elementwise work it
+    removes; part of the replicated-work floor after the sweeps and the
+    grid build are banded). Only valid when the dynamics are
+    noise-free (else per-slice draws would diverge from the replicated
+    stream); callers gate on ``p.dynamics_noise == 0``. In the
+    force_n_dev timing emulation the gather is a local tile (collectives
+    excluded, as documented)."""
+    p = cfg.params
+    n = p.n_agents
+    local = n // cfg.n_dev
+    d = jax.lax.axis_index(cfg.axis)
+    y_d = jax.lax.dynamic_slice(
+        y, (0, d * local, 0), (y.shape[0], local, y.shape[2])
+    )
+    act_d = actor_forward(params, acfg, y_d, None)
+    x_d = jax.lax.dynamic_slice(x, (d * local, 0), (local, 4))
+    x2_d = _dynamics(x_d, act_d, p, step_key)
+    if cfg.emulated:
+        return jnp.tile(x2_d, (cfg.n_dev, 1))
+    return jax.lax.all_gather(x2_d, cfg.axis, tiled=True)
+
+
+def _use_sharded_actor(cfg: LargeNConfig) -> bool:
+    return (cfg.axis is not None and cfg.n_dev > 1
+            and cfg.params.n_agents % cfg.n_dev == 0
+            and cfg.params.dynamics_noise == 0.0
+            and cfg.params.n_leaders == 0)
+
+
 def _row_range(cfg: LargeNConfig):
     if cfg.axis is None:
         return None
@@ -350,9 +384,7 @@ def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
 
     def body(state, step_key):
         x, carry, fq, nl, gh, s0, ovf = state
-        if expert_mode:
-            action = fq.expert
-        else:
+        if not expert_mode:
             if fused:
                 from multiagent_gnn_policies_tpu.ops.pallas_cells import (
                     ystack_pre,
@@ -365,10 +397,14 @@ def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
             else:
                 y = _ystack(cfg, carry, x, fq.degree, nl,
                             grid_hist=gh or None)
-            action = actor_forward(params, acfg, y, None)
         pos_prev = x[:, :2]
-        x2 = _dynamics(x, action, p, step_key)
-        carry2 = None
+        if expert_mode:
+            x2 = _dynamics(x, fq.expert, p, step_key)
+        elif _use_sharded_actor(cfg):
+            x2 = _shard_actor_dynamics(cfg, acfg, params, y, x, step_key)
+        else:
+            x2 = _dynamics(x, actor_forward(params, acfg, y, None), p,
+                           step_key)
         if fused:
             # pre-apply the NEXT step's s=0 columns in the same fused
             # sweep that computes the new frame (one shared pack)
