@@ -96,3 +96,19 @@ def test_invalid_alg_fails_cleanly(tmp_path):
     )
     assert out.returncode != 0
     assert "Invalid algorithm" in out.stderr
+
+
+def test_large_trainer_routing(tmp_path):
+    """trainer = large routes dagger sections through the large-N trainer
+    (blocked path at tiny N on CPU); same CSV contract."""
+    cfg_text = TINY.replace("n_agents = 10", "n_agents = 64") \
+                   .replace("[run1]", "trainer = large\nstore_agents = 16\n\n[run1]") \
+                   .replace("episode_steps = 20", "episode_steps = 8") \
+                   .replace("n_test_episodes = 2", "n_test_episodes = 1") \
+                   .replace("k = 2", "k = 3")
+    stdout = run_cli(cfg_text, tmp_path)
+    lines = [l for l in stdout.strip().splitlines() if l]
+    assert lines[0] == "reward"
+    name, mean, std = [p.strip() for p in lines[1].split(",")]
+    assert name == "run1"
+    float(mean), float(std)
