@@ -115,7 +115,7 @@ def _pairwise(x: jax.Array, comm_radius: float):
 def observe(x: jax.Array, p: FlockingParams) -> Obs:
     """The 6-feature relative observation + normalized adjacency."""
     diff, r2, adj = _pairwise(x, p.comm_radius)
-    r2s = jnp.where(jnp.isinf(r2), 1.0, r2)  # avoid inf*0 = nan on the diagonal
+    r2s = jnp.maximum(jnp.where(jnp.isinf(r2), 1.0, r2), COLLISION_R2_EPS)
     feats = jnp.stack(
         [
             diff[..., 2],                    # vx_i - vx_j
@@ -140,7 +140,7 @@ def expert_action(x: jax.Array, p: FlockingParams, centralized: bool = True) -> 
     range. Decentralized mode restricts both sums to radius neighbors.
     """
     diff, r2, adj = _pairwise(x, p.comm_radius)
-    r2s = jnp.where(jnp.isinf(r2), 1.0, r2)
+    r2s = jnp.maximum(jnp.where(jnp.isinf(r2), 1.0, r2), COLLISION_R2_EPS)
     grad_x = -2.0 * diff[..., 0] / (r2s * r2s) + 2.0 * diff[..., 0] / r2s
     grad_y = -2.0 * diff[..., 1] / (r2s * r2s) + 2.0 * diff[..., 1] / r2s
     in_range = (r2 <= 1.0).astype(x.dtype)    # potential truncation radius
@@ -156,6 +156,18 @@ def expert_action(x: jax.Array, p: FlockingParams, centralized: bool = True) -> 
     uy = -jnp.sum(diff[..., 3] * vmask + grad_y, axis=1)
     u = jnp.stack([ux, uy], axis=-1)
     return jnp.clip(u, -10.0, 10.0)
+
+
+# Exact f32 agent co-location must degrade to an enormous-but-FINITE
+# repulsive observation, not inf -> NaN: at N=1e6 some pair eventually
+# lands on bit-identical f32 coordinates mid-episode (measured: key 11 at
+# N=1M NaN'd at step ~50 with min pairwise r^2 -> 0 while key 12 ran the
+# full horizon; coordinate resolution at |x|~300 is ~2e-5). The clamp only
+# engages below r = 1e-6 -- 4000x under min_separation -- where the
+# reference's own NumPy would emit inf; capped, 1/r^4 <= 1e24 stays finite
+# through every f32 sum/product and the clipped action pushes the pair
+# apart.
+COLLISION_R2_EPS = 1e-12
 
 
 def reward(x: jax.Array) -> jax.Array:

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as _np
 
-from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.envs.flocking import COLLISION_R2_EPS, FlockingParams
 from multiagent_gnn_policies_tpu.ops.precision import centralized_consensus
 
 HASH_BITS = 20
@@ -194,7 +194,7 @@ def binned_frame(
     dy = xi[:, None, 1] - xj[..., 1]
     dvx = xi[:, None, 2] - xj[..., 2]
     dvy = xi[:, None, 3] - xj[..., 3]
-    r2s = jnp.where(jnp.isinf(r2), 1.0, r2)
+    r2s = jnp.maximum(jnp.where(jnp.isinf(r2), 1.0, r2), COLLISION_R2_EPS)
     inv_r2 = 1.0 / r2s
     inv_r4 = inv_r2 * inv_r2
     values = jnp.stack(

@@ -43,7 +43,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.envs.flocking import COLLISION_R2_EPS, FlockingParams
 
 
 class FrameQuantities(NamedTuple):
@@ -103,7 +103,8 @@ def blocked_frame(
         dx, dy, r2, adj, self_mask = _pair_blocks(xi, x, p, rows)
         dvx = xi[:, None, 2] - x[None, :, 2]
         dvy = xi[:, None, 3] - x[None, :, 3]
-        r2s = jnp.where(jnp.isinf(r2), 1.0, r2)
+        r2s = jnp.maximum(jnp.where(jnp.isinf(r2), 1.0, r2),
+                          COLLISION_R2_EPS)
         inv_r2 = 1.0 / r2s
         inv_r4 = inv_r2 * inv_r2
         values = jnp.stack(

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as _np
 
-from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.envs.flocking import COLLISION_R2_EPS, FlockingParams
 from multiagent_gnn_policies_tpu.ops.precision import centralized_consensus
 
 # 3x3 neighborhood offsets into the padded grid (dx, dy in {0, 1, 2})
@@ -300,7 +300,7 @@ def cells_frame(
         dvx = xi[..., :, None, 2] - xj[..., None, :, 2]
         dvy = xi[..., :, None, 3] - xj[..., None, :, 3]
         r2 = dx * dx + dy * dy
-        r2s = jnp.where(pair_ok, r2, 1.0)            # div-safe everywhere
+        r2s = jnp.maximum(jnp.where(pair_ok, r2, 1.0), COLLISION_R2_EPS)
         inv_r2 = 1.0 / r2s
         inv_r4 = inv_r2 * inv_r2
         m = (pair_ok & (r2 < r2cut)).astype(x.dtype)

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multiagent_gnn_policies_tpu.envs.flocking import FlockingParams
+from multiagent_gnn_policies_tpu.envs.flocking import COLLISION_R2_EPS, FlockingParams
 from multiagent_gnn_policies_tpu.ops.precision import centralized_consensus
 
 
@@ -419,7 +419,8 @@ def _frame_kernel(
             dxp, dyp = sx - nx, sy - ny
             dvx, dvy = svx - nvx, svy - nvy
             r2 = dxp * dxp + dyp * dyp
-            r2s = jnp.where(ok > 0, r2, 1.0)
+            r2s = jnp.maximum(jnp.where(ok > 0, r2, 1.0),
+                              COLLISION_R2_EPS)
             inv2 = 1.0 / r2s
             inv4 = inv2 * inv2
             m = jnp.where(r2 < r2cut, ok, 0.0)
