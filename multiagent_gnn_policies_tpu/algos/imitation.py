@@ -83,6 +83,15 @@ class ImitationConfig:
     n_test_episodes: int = 20
     n_rollout_envs: int = 1
     seed: int = 11
+    # Include the replay buffer in training-state checkpoints. True =
+    # bit-exact resume (the default; tests/test_resume.py contract).
+    # False trades exactness for checkpoint cost: at large N the buffer
+    # is multi-GB and a periodic save fetches it all to the host (~2 min
+    # per save at N=32k over the remote-TPU tunnel — ~25% of training
+    # wall); without it a resume restarts with an EMPTY buffer, which
+    # refills within one episode chunk (collection outpaces sampling) —
+    # the resumed run is statistically equivalent, not bit-equal.
+    checkpoint_buffer: bool = True
 
     @classmethod
     def from_experiment(cls, x: ExperimentConfig, mode: Optional[str] = None,
@@ -104,6 +113,7 @@ class ImitationConfig:
             n_train_episodes=x.n_train_episodes, beta_coeff=x.beta_coeff,
             test_interval=x.test_interval, n_test_episodes=x.n_test_episodes,
             n_rollout_envs=x.n_rollout_envs, seed=x.seed,
+            checkpoint_buffer=x.checkpoint_buffer,
         )
 
 
@@ -347,12 +357,14 @@ class ImitationLearner:
 
     def training_state(self) -> dict:
         """Complete restart state as one pytree: params, optimizer, replay
-        buffer, PRNG, loop counters, and the best-eval snapshot."""
+        buffer (unless ``cfg.checkpoint_buffer`` is off), PRNG, loop
+        counters, and the best-eval snapshot."""
         best_p = self._best["params"]
+        buf = {"buffer": self.buffer} if self.cfg.checkpoint_buffer else {}
         return {
+            **buf,
             "params": self.params,
             "opt_state": self.opt_state,
-            "buffer": self.buffer,
             "key": jax.random.key_data(self._key),
             "round": np.int64(self._rnd),
             "beta": np.float64(self._beta),
@@ -378,7 +390,10 @@ class ImitationLearner:
         st = checkpoint.load(path, self.training_state())
         self.params = jax.tree.map(jnp.asarray, st["params"])
         self.opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
-        self.buffer = jax.tree.map(jnp.asarray, st["buffer"])
+        if self.cfg.checkpoint_buffer:
+            self.buffer = jax.tree.map(jnp.asarray, st["buffer"])
+        # else: resume with the freshly-initialized empty buffer — it
+        # refills from the next collection chunk (see cfg field doc)
         self._key = jax.random.wrap_key_data(jnp.asarray(st["key"]))
         self._rnd = int(st["round"])
         self._beta = float(st["beta"])

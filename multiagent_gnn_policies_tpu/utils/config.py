@@ -90,6 +90,10 @@ class ExperimentConfig:
     # ("auto" | "blocked" | "cells" | "pcells")
     store_agents: int = 0
     graph_path: str = "auto"
+    # include the replay buffer in --state-dir checkpoints (True =
+    # bit-exact resume; False = cheap checkpoints, resume refills the
+    # buffer — algos/imitation.py:ImitationConfig.checkpoint_buffer)
+    checkpoint_buffer: bool = True
     # trainer dispatch: "auto" routes dagger/cloning sections with
     # n_agents > 1024 through the large-N trainer (the dense (K,N,N)
     # path is the reference's representation, unusable at those N)
@@ -154,6 +158,7 @@ class ExperimentConfig:
             matmul_precision=gets("matmul_precision", d.matmul_precision),
             store_agents=geti("store_agents", d.store_agents),
             graph_path=gets("graph_path", d.graph_path).lower(),
+            checkpoint_buffer=getb("checkpoint_buffer", d.checkpoint_buffer),
             trainer=gets("trainer", d.trainer).lower(),
         )
 

@@ -70,3 +70,39 @@ def test_state_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(fresh.training_state()),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_without_buffer(tmp_path):
+    """checkpoint_buffer = False: cheap checkpoints (no multi-GB replay
+    fetch) — resume restarts with an empty buffer and keeps training;
+    params/opt/PRNG/schedule still restore exactly."""
+    import dataclasses
+
+    state = str(tmp_path / "state_nobuf.npz")
+    cfg = dataclasses.replace(_cfg("dagger", 6), checkpoint_buffer=False)
+
+    part = ImitationLearner(cfg)
+    out = part.train(state_path=state, stop_after=3)
+    assert out["interrupted"]
+    params_at_stop = jax.tree.map(np.asarray, part.params)
+
+    # params at the stop point restore exactly; the buffer starts empty
+    # (load this BEFORE resuming — train() rewrites the state at exit)
+    lrn2 = ImitationLearner(cfg)
+    lrn2.load_training_state(state)
+    for a, b in zip(jax.tree_util.tree_leaves(params_at_stop),
+                    jax.tree_util.tree_leaves(lrn2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(lrn2.buffer.size) == 0
+
+    # the state file held no buffer: much smaller than the exact variant
+    import os
+    full_state = str(tmp_path / "state_full.npz")
+    full = ImitationLearner(_cfg("dagger", 6))
+    full.train(state_path=full_state, stop_after=3)
+    assert os.path.getsize(state) < os.path.getsize(full_state)
+
+    # and the resumed run completes
+    rest = ImitationLearner(cfg)
+    rest.train(state_path=state)
+    assert rest._rnd == 6
