@@ -307,7 +307,15 @@ def main() -> None:
         f"ms/step) — the vs_baseline denominator; {mt} threads "
         f"{ref_mt_sps:.1f} steps/s for comparison")
 
-    single, batched, sustained = bench_tpu_rollout()
+    try:
+        single, batched, sustained = bench_tpu_rollout()
+    except Exception as e:
+        # the remote-TPU worker occasionally fails its FIRST dispatch
+        # after a restart (observed: FAILED_PRECONDITION fetching the
+        # first result, r4 phase B) — one retry reclaims the chip cleanly
+        log(f"first TPU attempt failed ({e!r}); retrying once")
+        time.sleep(10)
+        single, batched, sustained = bench_tpu_rollout()
     log(f"fused TPU rollout: single-env {single:.0f} steps/s, "
         f"{BATCH_ENVS}-env per-dispatch {batched:.0f} steps/s, "
         f"sustained (x{SUSTAIN_REPS} amortized) {sustained:.0f} steps/s "
