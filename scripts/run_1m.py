@@ -66,7 +66,8 @@ def main() -> int:
     out = rollout_large(params, acfg, jax.random.key(12), p, path="pcells",
                         return_overflow=True, scan_chunks=args.chunks,
                         traj_agents=traj_agents)
-    r2, _, ovf2 = out[:3]
+    r2, final_x, ovf2 = out[:3]    # final frame of THIS episode (the one
+                                   # whose trajectory is saved below)
     tot2 = float(np.asarray(r2).sum())
     dt = time.perf_counter() - t0
     print(f"steady: {dt / args.steps * 1e3:.1f} ms/step "
