@@ -105,6 +105,7 @@ class LargeNImitationConfig(ImitationConfig):
     store_agents: int = 4096
     graph_path: str = "auto"
     cell_margin: float = 1.3
+    cell_cap: int = 0          # 0 = path default (cfg key cell_cap)
 
     @classmethod
     def from_experiment(cls, x: ExperimentConfig, mode: Optional[str] = None,
@@ -117,6 +118,8 @@ class LargeNImitationConfig(ImitationConfig):
             },
             store_agents=min(s, x.n_agents),
             graph_path=x.graph_path,
+            cell_cap=x.cell_cap,
+            cell_margin=x.cell_margin,
         )
 
 
@@ -221,14 +224,14 @@ class LargeNImitationLearner(ImitationLearner):
         cell_spec = None
         if path == "cells":
             from multiagent_gnn_policies_tpu.ops.cells import make_cell_spec
-            cell_spec = make_cell_spec(p, cap=12, margin=cfg.cell_margin,
-                                       n_dev=n_dev)
+            cell_spec = make_cell_spec(p, cap=cfg.cell_cap or 12,
+                                       margin=cfg.cell_margin, n_dev=n_dev)
         elif path == "pcells":
             from multiagent_gnn_policies_tpu.ops.pallas_cells import (
                 make_pcell_spec,
             )
-            cell_spec = make_pcell_spec(p, cap=16, margin=cfg.cell_margin,
-                                        n_dev=n_dev)
+            cell_spec = make_pcell_spec(p, cap=cfg.cell_cap or 16,
+                                        margin=cfg.cell_margin, n_dev=n_dev)
         rows = p.n_agents // n_dev
         self._lcfg = LargeNConfig(
             params=p, block=pick_block(rows), rows=rows,
@@ -319,6 +322,7 @@ class LargeNImitationLearner(ImitationLearner):
                 self.params, cfg.actor, self._next_key(), self._lcfg.params,
                 mesh=self.mesh, path=self._lcfg.path,
                 cell_margin=cfg.cell_margin, return_overflow=True,
+                cap=cfg.cell_cap or None,
             )
             tot = float(np.asarray(r).sum())
             if int(ovf) or not np.isfinite(tot):

@@ -90,6 +90,12 @@ class ExperimentConfig:
     # ("auto" | "blocked" | "cells" | "pcells")
     store_agents: int = 0
     graph_path: str = "auto"
+    # per-cell slot capacity for the cell-path grids (0 = path default:
+    # 16 pcells / 12 cells) and grid-extent margin (multiple of the
+    # single-disc initial extent; TwoFlocks' two offset discs need ~1.5+
+    # — the exactness gate rejects an undersized grid).
+    cell_cap: int = 0
+    cell_margin: float = 1.3
     # include the replay buffer in --state-dir checkpoints (True =
     # bit-exact resume; False = cheap checkpoints, resume refills the
     # buffer — algos/imitation.py:ImitationConfig.checkpoint_buffer)
@@ -158,6 +164,8 @@ class ExperimentConfig:
             matmul_precision=gets("matmul_precision", d.matmul_precision),
             store_agents=geti("store_agents", d.store_agents),
             graph_path=gets("graph_path", d.graph_path).lower(),
+            cell_cap=geti("cell_cap", d.cell_cap),
+            cell_margin=getf("cell_margin", d.cell_margin),
             checkpoint_buffer=getb("checkpoint_buffer", d.checkpoint_buffer),
             trainer=gets("trainer", d.trainer).lower(),
         )
