@@ -68,7 +68,8 @@ def load_actor_params(path: str, like):
 
 def evaluate_blocked(section, actor_path, k=None, n_agents=None,
                      n_episodes=None, mesh_devices=0, expert=False,
-                     per_episode=False, traj_path=None):
+                     per_episode=False, traj_path=None,
+                     cell_margin=None, cell_cap=None):
     """Large-N transfer evaluation on the blocked path (ops/blocked.py):
     zero-shot evaluation of a small-N checkpoint on swarms of 10k+ agents,
     optionally with the N^2 sweeps sharded over an ``agents`` mesh —
@@ -132,6 +133,8 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
                             expert_mode=expert,
                             centralized_expert=cfg.centralized,
                             return_overflow=True,
+                            cell_margin=cell_margin or cfg.cell_margin,
+                            cap=cell_cap or cfg.cell_cap or None,
                             traj_agents=traj_agents if ep == 0 else 0)
         r, final_x, ovf = out[:3]
         if ep == 0 and traj_path:
@@ -255,6 +258,12 @@ def main(argv=None):
                     help="shard the large-N path over D devices (agents axis)")
     ap.add_argument("--expert", action="store_true",
                     help="evaluate the analytic expert instead of a checkpoint")
+    ap.add_argument("--cell-margin", type=float, default=None,
+                    help="cell-grid extent margin override (large-N path; "
+                         "wide inits like TwoFlocks need 1.5+)")
+    ap.add_argument("--cell-cap", type=int, default=None,
+                    help="cell slot-capacity override (large-N path; "
+                         "overlapping flocks need 32)")
     args = ap.parse_args(argv)
     if not args.expert and bool(args.actor_path) == bool(args.actor_base):
         ap.error("exactly one of --actor-path / --actor-base is required "
@@ -283,6 +292,7 @@ def main(argv=None):
                 n_episodes=args.episodes, mesh_devices=args.mesh,
                 expert=args.expert, per_episode=args.per_episode,
                 traj_path=args.save_trajectory,
+                cell_margin=args.cell_margin, cell_cap=args.cell_cap,
             )
         else:
             stats = evaluate_section(section, path, k=k,
