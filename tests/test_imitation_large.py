@@ -96,11 +96,14 @@ def test_pcells_path_smoke():
     assert np.isfinite(stats["mean"])
 
 
-def test_mesh_round_matches_single_device():
-    """One full training round (collect + insert + updates) sharded over a
-    2-device mesh must reproduce the single-device round's params."""
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_mesh_round_matches_single_device(n_dev):
+    """One full training round (collect + insert + updates) sharded over
+    the mesh must reproduce the single-device round's params."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs {n_dev} devices")
     single = LargeNImitationLearner(_cfg(n=64, store_agents=16))
-    devs = jax.devices()[:2]
+    devs = jax.devices()[:n_dev]
     mesh = Mesh(np.array(devs), axis_names=("agents",))
     sharded = LargeNImitationLearner(_cfg(n=64, store_agents=16), mesh=mesh)
 
