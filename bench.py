@@ -29,6 +29,7 @@ exactly the one JSON line the driver records.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -293,15 +294,40 @@ def bench_large_n() -> None:
                 f"overflow=0)")
 
 
-def main() -> None:
-    import os
+def _pinned_baseline_subprocess() -> float:
+    """The pinned 1-thread reference measurement in a FRESH subprocess:
+    the published ratio's denominator must not inherit this process's
+    warmed OpenMP pool or post-multithread thermal state (r4 ADVICE item
+    3 — the pinned protocol's cross-round comparability is the point).
+    Falls back to in-process on any subprocess failure."""
+    import subprocess
 
-    # default-thread-count run FIRST (torch forbids raising the thread
-    # count after parallel work has started), then the pinned protocol run
-    # that the published ratio uses
+    code = (
+        "import sys; sys.path.insert(0, {root!r}); "
+        "from bench import bench_reference_baseline; "
+        "print(bench_reference_baseline())"
+    ).format(root=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=600, check=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        log(f"pinned-baseline subprocess failed ({e!r}); "
+            f"falling back to in-process")
+        return bench_reference_baseline()
+
+
+def main() -> None:
+    # pinned protocol run FIRST and in a fresh subprocess (the published
+    # ratio's denominator), then this process's default-thread run for
+    # comparison (torch forbids raising the thread count after parallel
+    # work has started, so the in-process order must stay 1 -> mt anyway)
     mt = os.cpu_count() or 1
+    ref_sps = _pinned_baseline_subprocess()
     ref_mt_sps = bench_reference_baseline(threads=mt)
-    ref_sps = bench_reference_baseline()
     log(f"reference-equivalent baseline (torch/numpy host loop): "
         f"pinned 1 thread {ref_sps:.1f} steps/s ({1e3 / ref_sps:.2f} "
         f"ms/step) — the vs_baseline denominator; {mt} threads "

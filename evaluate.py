@@ -120,10 +120,10 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
 
     # trajectory dump (r3 VERDICT weak #8: the large-N path could not
     # produce the framework's most impressive artifact): episode 0 records
-    # an index-strided subset of agents per step — the lattice init orders
-    # agents radially, so the stride covers the whole disc — in the same
-    # npz schema scripts/render_trajectory.py consumes, plus the full
-    # final frame under "final_x".
+    # an evenly spaced subset of agents per step — the lattice init orders
+    # agents radially, so the linspace subset covers the whole disc — in
+    # the same npz schema scripts/render_trajectory.py consumes, plus the
+    # full final frame under "final_x".
     traj_agents = min(2000, p.n_agents) if traj_path else 0
     rewards = []
     max_overflow = 0
@@ -138,10 +138,16 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
                             traj_agents=traj_agents if ep == 0 else 0)
         r, final_x, ovf = out[:3]
         if ep == 0 and traj_path:
+            from multiagent_gnn_policies_tpu.parallel.large_n import (
+                traj_subset_indices,
+            )
+
             np.savez(
                 traj_path, x=np.asarray(out[3]), reward=np.asarray(r),
                 final_x=np.asarray(final_x),
-                subset_stride=max(p.n_agents // traj_agents, 1),
+                subset_indices=np.asarray(
+                    traj_subset_indices(p.n_agents, traj_agents)
+                ),
             )
             print(f"# trajectory ({out[3].shape[0]} steps, "
                   f"{traj_agents}/{p.n_agents} agents) -> {traj_path}")
@@ -200,6 +206,12 @@ def evaluate_section(section, actor_path: str, k=None, per_episode=False,
             raise SystemExit(
                 "--save-trajectory is not supported for alg=ddpg sections"
             )
+        if k is not None:
+            # DDPG's delayed state and critic GSO are built with the cfg's
+            # k; silently scoring the cfg's k under a --k override would
+            # misreport a transfer result (r4 ADVICE item 1)
+            raise SystemExit("--k is not supported for alg=ddpg sections "
+                             "(the checkpoint's k is fixed by the cfg)")
         from multiagent_gnn_policies_tpu.algos.ddpg import DDPG, DDPGConfig
 
         ddpg = DDPG(DDPGConfig.from_experiment(cfg))

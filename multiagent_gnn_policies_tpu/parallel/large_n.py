@@ -48,6 +48,15 @@ from multiagent_gnn_policies_tpu.ops.blocked import (
 )
 
 
+def traj_subset_indices(n_agents: int, traj_agents: int) -> jax.Array:
+    """Evenly spaced agent indices spanning [0, n_agents) for trajectory
+    dumps. Rounded linspace rather than an integer-division stride: at
+    e.g. N=3000 with 2000 recorded agents a floor stride of 1 would record
+    only the innermost 2000 agents of the radially-ordered lattice init —
+    this always covers the whole disc (r4 ADVICE item 2)."""
+    return jnp.linspace(0, n_agents - 1, traj_agents).round().astype(jnp.int32)
+
+
 def pick_block(rows: int, preferred: int = 128) -> int:
     """Largest divisor of ``rows`` that is <= ``preferred``."""
     for b in range(min(preferred, rows), 0, -1):
@@ -422,8 +431,7 @@ def _scan_steps(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
         gh2 = (nl,) + gh[:-1] if n_gh else gh
         out = _reward(x2)
         if traj_agents:
-            stride = max(p.n_agents // traj_agents, 1)
-            out = (out, x2[jnp.arange(traj_agents) * stride])
+            out = (out, x2[traj_subset_indices(p.n_agents, traj_agents)])
         return (x2, carry2, fq2, nl2, gh2, s02, ovf), out
 
     return jax.lax.scan(body, state, step_keys)
@@ -438,10 +446,10 @@ def _rollout_body(cfg: LargeNConfig, acfg: Optional[ActorConfig], params,
     Returns ``(rewards (T,), final_x, overflow)`` — overflow is the max
     per-step neighbor-table overflow count of the sparse path (always 0 on
     the dense paths; SURVEY §7 "no silent truncation"). With
-    ``traj_agents = M > 0`` a fourth output records an index-strided
+    ``traj_agents = M > 0`` a fourth output records an evenly spaced
     M-agent subset's states per step ((T, M, 4) — the visualization dump;
-    the stride covers the lattice init's radial ordering, so the subset
-    spans the whole disc)."""
+    :func:`traj_subset_indices` spans the lattice init's radial ordering,
+    so the subset covers the whole disc)."""
     _, noise_key = jax.random.split(key)
     state = _episode_init(cfg, acfg, key, expert_mode, centralized)
     state, out = _scan_steps(

@@ -15,10 +15,11 @@ per-chunk peak memory bounded by a known-good T=50 program shape.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -74,9 +75,14 @@ def main() -> int:
           f"reward={tot2:.1f} overflow={int(ovf2)}", flush=True)
 
     if args.traj:
+        from multiagent_gnn_policies_tpu.parallel.large_n import (
+            traj_subset_indices,
+        )
+
         np.savez(args.traj, x=np.asarray(out[3]), reward=np.asarray(r2),
                  final_x=np.asarray(final_x),
-                 subset_stride=max(args.n // traj_agents, 1))
+                 subset_indices=np.asarray(
+                     traj_subset_indices(args.n, traj_agents)))
         print(f"trajectory -> {args.traj}", flush=True)
 
     ok = (int(ovf) == 0 and int(ovf2) == 0
