@@ -66,19 +66,33 @@ def pick_block(rows: int, preferred: int = 128) -> int:
 
 
 def _dynamics(x: jax.Array, action: jax.Array, p: FlockingParams,
-              key: jax.Array) -> jax.Array:
-    """Double-integrator step on the full replicated state
-    (envs/flocking.py:step semantics, without the dense observe)."""
+              key: jax.Array, global_start=0) -> jax.Array:
+    """Double-integrator step (envs/flocking.py:step semantics, without the
+    dense observe) on the full state OR an agent slice of it.
+
+    ``global_start``: global index of ``x``'s first agent (traced OK) —
+    the index-sliced mesh path (:func:`_shard_actor_dynamics`) passes its
+    slice offset so the leader mask and the noise stream stay EXACT: the
+    leader mask tests global indices, and the noise is always drawn for
+    the full (n_agents, 2) swarm from ``key`` and then sliced, so every
+    device consumes the same stream the single-device program does (the
+    O(N) replicated RNG is microseconds; r4 VERDICT weak #4 — the
+    leader/noise variants previously fell back to fully replicated
+    actor/dynamics on meshes)."""
     u = jnp.clip(action, -p.max_accel, p.max_accel) * p.gain
+    local = x.shape[0]
     if p.n_leaders > 0:
-        is_leader = (jnp.arange(p.n_agents) < p.n_leaders)[:, None]
+        gidx = global_start + jnp.arange(local)
+        is_leader = (gidx < p.n_leaders)[:, None]
         u = jnp.where(is_leader, 0.0, u)
     pos = x[:, 0:2] + x[:, 2:4] * p.dt + 0.5 * u * p.dt * p.dt
     vel = x[:, 2:4] + u * p.dt
     if p.drag > 0.0:
         vel = vel * (1.0 - p.drag * p.dt)
     if p.dynamics_noise > 0.0:
-        vel = vel + p.dynamics_noise * jax.random.normal(key, vel.shape, vel.dtype)
+        noise = jax.random.normal(key, (p.n_agents, 2), vel.dtype)
+        noise = jax.lax.dynamic_slice(noise, (global_start, 0), (local, 2))
+        vel = vel + p.dynamics_noise * noise
     return jnp.concatenate([pos, vel], axis=-1)
 
 
@@ -135,11 +149,12 @@ def _shard_actor_dynamics(cfg: LargeNConfig, acfg, params, y, x,
     and an ``all_gather`` reassembles the (N, 4) state (1.6 MB at N=100k —
     nothing on ICI, against the O(N) per-device elementwise work it
     removes; part of the replicated-work floor after the sweeps and the
-    grid build are banded). Only valid when the dynamics are
-    noise-free (else per-slice draws would diverge from the replicated
-    stream); callers gate on ``p.dynamics_noise == 0``. In the
-    force_n_dev timing emulation the gather is a local tile (collectives
-    excluded, as documented)."""
+    grid build are banded). The leader/noise env variants are exact here
+    too: ``_dynamics`` takes the slice's global offset, so the leader
+    mask tests global indices and the noise stream is the full-swarm
+    draw sliced per device (identical to the single-device stream). In
+    the force_n_dev timing emulation the gather is a local tile
+    (collectives excluded, as documented)."""
     p = cfg.params
     n = p.n_agents
     local = n // cfg.n_dev
@@ -149,17 +164,18 @@ def _shard_actor_dynamics(cfg: LargeNConfig, acfg, params, y, x,
     )
     act_d = actor_forward(params, acfg, y_d, None)
     x_d = jax.lax.dynamic_slice(x, (d * local, 0), (local, 4))
-    x2_d = _dynamics(x_d, act_d, p, step_key)
+    x2_d = _dynamics(x_d, act_d, p, step_key, global_start=d * local)
     if cfg.emulated:
         return jnp.tile(x2_d, (cfg.n_dev, 1))
     return jax.lax.all_gather(x2_d, cfg.axis, tiled=True)
 
 
 def _use_sharded_actor(cfg: LargeNConfig) -> bool:
+    # leader/noise variants included since r5: _dynamics slices the
+    # full-swarm noise stream and masks by global index, so the sharded
+    # step is bitwise the single-device step for every env variant
     return (cfg.axis is not None and cfg.n_dev > 1
-            and cfg.params.n_agents % cfg.n_dev == 0
-            and cfg.params.dynamics_noise == 0.0
-            and cfg.params.n_leaders == 0)
+            and cfg.params.n_agents % cfg.n_dev == 0)
 
 
 def _row_range(cfg: LargeNConfig):
@@ -529,6 +545,9 @@ def rollout_large(
     if acfg is not None and acfg.ind_agg != 0:
         raise ValueError("large-N path requires ind_agg == 0 actors")
     n = p.n_agents
+    if mesh is not None and axis not in mesh.axis_names:
+        mesh = None   # no agents axis to band over (e.g. an env-only
+                      # data-parallel mesh) — run the single-device program
     n_dev = mesh.shape[axis] if mesh is not None else 1
     if force_n_dev is not None:
         if mesh is None:
