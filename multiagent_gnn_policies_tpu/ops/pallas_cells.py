@@ -485,8 +485,10 @@ def _apply_kernel(
 
 def _apply_deg_kernel(
     rowcnt_ref,                 # (cx,) int32
-    prev_ref, cur_ref, next_ref,  # (1, (5 + C)·cap, cy_pad):
-                                #   x|y|vx|vy|valid|cols (cols RAW)
+    gprev_ref, gcur_ref, gnext_ref,  # (1, 5·cap, cy_pad): x|y|vx|vy|valid
+                                #   (the SAME geo table the frame kernel
+                                #   consumed — packed once per step)
+    cprev_ref, ccur_ref, cnext_ref,  # (1, C·cap, cy_pad): cols RAW
     dprev_ref, dcur_ref, dnext_ref,  # (1, 10·cap, cy_pad): frame outputs
                                 #   (halo-padded); degree at [6·cap:7·cap]
     out_ref,                    # (1, C·cap, cy_pad)
@@ -497,7 +499,16 @@ def _apply_deg_kernel(
     fused frame+apply sweep (:func:`frame_apply`). Unlike
     :func:`_apply_kernel` the columns are packed RAW (the /deg_j
     normalization needs deg of the same new graph, which only exists
-    after the frame pass) and divided here via the neighbor's slot."""
+    after the frame pass) and divided here via the neighbor's slot.
+
+    Geometry and columns are SEPARATE tables (r5): the r4 variant packed
+    one (5+C)-channel table that the frame kernel also consumed, so the
+    frame pass streamed the C unused column channels through VMEM
+    (3x-refetched: ~400 MB/step of dead traffic at N=100k, and a single
+    ~580 MB allocation at N=1M that forced the fused path off above
+    300k agents). Split tables keep the frame sweep at 5 channels and
+    let the apply pass chunk its columns (``frame_apply`` ``max_cols``)
+    without repacking geometry."""
     i = pl.program_id(0)
 
     @pl.when(rowcnt_ref[i] == 0)
@@ -506,7 +517,7 @@ def _apply_deg_kernel(
 
     @pl.when(rowcnt_ref[i] > 0)
     def _():
-        cur = cur_ref[0]
+        cur = gcur_ref[0]
         sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
         sval = _expand_a(cur[4 * cap:5 * cap], cap)
         lane = sx.shape[-1]
@@ -514,10 +525,12 @@ def _apply_deg_kernel(
         not_self = (r // cap != r % cap)
 
         accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(c)]
-        rows = (prev_ref, cur_ref, next_ref)
+        grows = (gprev_ref, gcur_ref, gnext_ref)
+        crows = (cprev_ref, ccur_ref, cnext_ref)
         drows = (dprev_ref, dcur_ref, dnext_ref)
         for dx, dy in _OFFS:
-            nb = _lane_shift(rows[dx][0], dy)
+            nb = _lane_shift(grows[dx][0], dy)
+            cb = _lane_shift(crows[dx][0], dy)
             db = _lane_shift(drows[dx][0], dy)
             nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
             ok = sval * _expand_b(nb[4 * cap:5 * cap], cap)
@@ -530,7 +543,7 @@ def _apply_deg_kernel(
             )
             mw = m * inv_deg
             for q in range(c):
-                w = _expand_b(nb[(5 + q) * cap:(6 + q) * cap], cap)
+                w = _expand_b(cb[q * cap:(q + 1) * cap], cap)
                 accs[q] = accs[q] + _group_sum(mw * w, cap)
         out_ref[0] = jnp.concatenate(accs, axis=0)
 
@@ -575,11 +588,13 @@ def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
     return out
 
 
-def _sweep_deg(kernel, grid_rows, rowcnt, packed, frame_pad, out_channels,
-               interpret, row_range=None):
-    """:func:`_sweep` plumbing for the fused apply pass: two banded inputs
-    (the packed agent table and the halo-padded frame output)."""
-    _, ch_cap, cyp = packed.shape
+def _sweep_deg(kernel, grid_rows, rowcnt, geo, colt, frame_pad,
+               out_channels, interpret, row_range=None):
+    """:func:`_sweep` plumbing for the fused apply pass: three banded
+    inputs (the 5-channel geometry table, the C-channel raw-column table,
+    and the halo-padded frame output)."""
+    _, gch, cyp = geo.shape
+    _, cch, _ = colt.shape
     _, fch, _ = frame_pad.shape
     if row_range is not None:
         start, local = row_range
@@ -591,9 +606,12 @@ def _sweep_deg(kernel, grid_rows, rowcnt, packed, frame_pad, out_channels,
             num_scalar_prefetch=1,
             grid=(grid_rows,),
             in_specs=[
-                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i, 0, 0)),
-                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i + 1, 0, 0)),
-                pl.BlockSpec((1, ch_cap, cyp), lambda i, s: (i + 2, 0, 0)),
+                pl.BlockSpec((1, gch, cyp), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, gch, cyp), lambda i, s: (i + 1, 0, 0)),
+                pl.BlockSpec((1, gch, cyp), lambda i, s: (i + 2, 0, 0)),
+                pl.BlockSpec((1, cch, cyp), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, cch, cyp), lambda i, s: (i + 1, 0, 0)),
+                pl.BlockSpec((1, cch, cyp), lambda i, s: (i + 2, 0, 0)),
                 pl.BlockSpec((1, fch, cyp), lambda i, s: (i, 0, 0)),
                 pl.BlockSpec((1, fch, cyp), lambda i, s: (i + 1, 0, 0)),
                 pl.BlockSpec((1, fch, cyp), lambda i, s: (i + 2, 0, 0)),
@@ -603,13 +621,14 @@ def _sweep_deg(kernel, grid_rows, rowcnt, packed, frame_pad, out_channels,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (grid_rows, out_channels, cyp), packed.dtype
+            (grid_rows, out_channels, cyp), geo.dtype
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit_bytes()
         ),
         interpret=interpret,
-    )(rowcnt, packed, packed, packed, frame_pad, frame_pad, frame_pad)
+    )(rowcnt, geo, geo, geo, colt, colt, colt,
+      frame_pad, frame_pad, frame_pad)
     return out
 
 
@@ -687,21 +706,24 @@ def frame_apply(
     row_range=None,
     axis_name: Optional[str] = None,
     halo_devices: int = 0,
+    max_cols: Optional[int] = None,
 ):
-    """Fused frame + adjacency transpose-apply over ONE packed table.
+    """Fused frame + adjacency transpose-apply over one shared GEOMETRY
+    table.
 
     Computes :func:`frame`'s quantities AND ``out[i] = sum_{j in nbr(i)}
-    cols[j] / deg_j`` for the SAME new graph in one sweep invocation:
-    the agent table ``[x | valid | cols]`` is packed once (the pack chain
-    — slot gather + layout transpose — measured ~4.5 ms of the 39.7 ms
-    N=100k step, and the rollout paid it twice per step: once for the
-    frame, once for the y-stack's s=0 apply on the same graph), the frame
-    kernel runs first, and :func:`_apply_deg_kernel` reads the candidate
-    degrees it needs straight from the frame's packed output (the /deg_j
-    normalization is why the apply could not precede the frame). Used by
-    the rollout to pre-compute the NEXT step's s=0 delayed apply at frame
-    time (parallel/large_n.py; the columns are the delayed feature slots,
-    known before the step's carry update).
+    cols[j] / deg_j`` for the SAME new graph in one invocation: the
+    5-channel geometry table ``[x | valid]`` is packed ONCE and consumed
+    by both the frame kernel and the apply kernel(s); the columns are
+    packed as their own table(s) so the frame sweep never streams them
+    (the r4 single-table variant streamed the C column channels through
+    the frame pass 3x-refetched — ~400 MB/step dead traffic at N=100k,
+    roofline'd in RESULTS §9). :func:`_apply_deg_kernel` reads the
+    candidate degrees straight from the frame's packed output (the
+    /deg_j normalization is why the apply cannot precede the frame).
+    Used by the rollout to pre-compute the NEXT step's s=0 delayed apply
+    at frame time (parallel/large_n.py; the columns are the delayed
+    feature slots, known before the step's carry update).
 
     Returns ``(FrameQuantities, (N, C) applied columns)``. Banded
     multi-chip mode (``row_range``/``axis_name``) completes both with a
@@ -713,6 +735,12 @@ def frame_apply(
     receive ppermute's zero fill, exactly right for the empty margin
     rows). ``halo_devices = 0`` skips the exchange (single-device, or the
     force_n_dev timing emulation where collectives are excluded).
+
+    ``max_cols``: HBM-ceiling knob — the apply runs in column chunks of
+    at most this many channels, each its own pack + sweep over the SAME
+    geometry/frame tables. This is what lets the fused path run at
+    N = 1M (the r4 single-table fusion needed one ~580 MB pack there and
+    was disabled above 300k agents — parallel/large_n.py:_use_fused).
     """
     from multiagent_gnn_policies_tpu.ops.blocked import FrameQuantities
 
@@ -721,13 +749,13 @@ def frame_apply(
     n = x.shape[0]
     c = cols.shape[-1]
     valid = jnp.ones((n, 1), x.dtype)
-    packed = _pack(grid, spec, jnp.concatenate([x, valid, cols], axis=-1),
-                   row_range=row_range)
+    geo = _pack(grid, spec, jnp.concatenate([x, valid], axis=-1),
+                row_range=row_range)
     fkernel = functools.partial(
         _frame_kernel, cap=spec.cap,
         r2cut=float(p.comm_radius) ** 2, centralized=centralized,
     )
-    fout = _sweep(fkernel, spec.cx, grid.row_count, packed,
+    fout = _sweep(fkernel, spec.cx, grid.row_count, geo,
                   10 * spec.cap, interpret, row_range=row_range)
     if axis_name is not None and halo_devices > 1:
         # halo exchange: my top halo row is the lower neighbor's LAST
@@ -741,13 +769,20 @@ def frame_apply(
         # zeros each side: the apply pass reads neighbor degrees at rows
         # i-1 / i+1 (zero deg -> max(deg,1) guard, m == 0 for pad rows)
         fpad = jnp.pad(fout, ((1, 1), (0, 0), (0, 0)))
-    akernel = functools.partial(
-        _apply_deg_kernel, cap=spec.cap, c=c,
-        r2cut=float(p.comm_radius) ** 2,
-    )
-    aout = _sweep_deg(akernel, spec.cx, grid.row_count, packed, fpad,
-                      c * spec.cap, interpret, row_range=row_range)
-    both = jnp.concatenate([fout, aout], axis=1)   # (rows, (10+C)·cap, cyp)
+    step_c = c if max_cols is None else min(max_cols, c)
+    aouts = []
+    for c0 in range(0, c, step_c):
+        cc = cols[:, c0:c0 + step_c]
+        colt = _pack(grid, spec, cc, row_range=row_range)
+        akernel = functools.partial(
+            _apply_deg_kernel, cap=spec.cap, c=cc.shape[-1],
+            r2cut=float(p.comm_radius) ** 2,
+        )
+        aouts.append(_sweep_deg(
+            akernel, spec.cx, grid.row_count, geo, colt, fpad,
+            cc.shape[-1] * spec.cap, interpret, row_range=row_range,
+        ))
+    both = jnp.concatenate([fout] + aouts, axis=1)  # (rows, (10+C)·cap, cyp)
     if axis_name is not None:
         per = jax.lax.psum(
             _unpack_band(grid, spec, both, row_range[0]), axis_name

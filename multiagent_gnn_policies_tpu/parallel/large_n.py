@@ -126,13 +126,20 @@ class LargeNConfig(NamedTuple):
 
 
 def _use_fused(cfg: LargeNConfig, acfg, expert_mode: bool) -> bool:
-    """Fused frame+s0-apply applies on the pcells policy path with K >= 2
-    below the HBM-ceiling regime (above ~300k agents the y-stack chunks
-    its columns — ops/pallas_cells.py:ystack max_cols — which the fused
-    single-pack sweep cannot, so those sizes keep the split passes)."""
+    """Fused frame+s0-apply applies on the pcells policy path with
+    K >= 2 at EVERY N since r5: the split-table frame_apply packs
+    geometry and columns separately and chunks the apply columns
+    (``_fused_max_cols``), so the HBM ceiling that disabled fusion above
+    300k agents in r4 (one ~580 MB combined pack at N=1M) is gone."""
     return (cfg.path == "pcells" and not expert_mode
-            and acfg is not None and acfg.k >= 2
-            and cfg.params.n_agents <= 300_000)
+            and acfg is not None and acfg.k >= 2)
+
+
+def _fused_max_cols(cfg: LargeNConfig) -> Optional[int]:
+    """Apply-pass column chunking for the fused sweep — same threshold
+    and chunk width as the unfused y-stack path (ops/pallas_cells.py:
+    ystack ``max_cols`` rationale: bound the largest live slot table)."""
+    return 6 if cfg.params.n_agents > 300_000 else None
 
 
 def _s0_cols(carry) -> jax.Array:
@@ -240,7 +247,8 @@ def _frame(cfg: LargeNConfig, x, centralized, apply_cols=None):
                                  cfg.params, centralized,
                                  row_range=crr, axis_name=ax,
                                  halo_devices=0 if cfg.emulated
-                                 else cfg.n_dev)
+                                 else cfg.n_dev,
+                                 max_cols=_fused_max_cols(cfg))
             return fq, nl, s0
         fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized,
                           row_range=crr, axis_name=ax)

@@ -322,6 +322,27 @@ def test_frame_apply_fused_parity(c):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("max_cols", [5, 6])
+def test_frame_apply_max_cols_parity(max_cols):
+    """Column-chunked fused apply (the r5 HBM-ceiling knob that lets the
+    fused path run at N=1M) == the single-sweep apply, including uneven
+    chunk splits."""
+    from multiagent_gnn_policies_tpu.ops.pallas_cells import frame_apply
+
+    key = jax.random.key(3)
+    x = _state(key)
+    cols = jax.random.normal(jax.random.fold_in(key, 2), (48, 12))
+    grid = build_pcell_grid(x[:, :2], SPEC)
+    fq1, a1 = frame_apply(x, cols, grid, SPEC, P, True)
+    fq2, a2 = frame_apply(x, cols, grid, SPEC, P, True, max_cols=max_cols)
+    for f in ("values", "degree", "expert", "min_r2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fq2, f)), np.asarray(getattr(fq1, f)),
+            atol=1e-6, err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+
+
 def test_frame_apply_fused_parity_banded():
     """Banded multi-chip frame_apply (grid-row bands + one psum) ==
     single-device frame_apply, on the virtual mesh."""
