@@ -69,7 +69,7 @@ def load_actor_params(path: str, like):
 def evaluate_blocked(section, actor_path, k=None, n_agents=None,
                      n_episodes=None, mesh_devices=0, expert=False,
                      per_episode=False, traj_path=None,
-                     cell_margin=None, cell_cap=None):
+                     cell_margin=None, cell_cap=None, cell_edge_mult=None):
     """Large-N transfer evaluation on the blocked path (ops/blocked.py):
     zero-shot evaluation of a small-N checkpoint on swarms of 10k+ agents,
     optionally with the N^2 sweeps sharded over an ``agents`` mesh —
@@ -135,6 +135,8 @@ def evaluate_blocked(section, actor_path, k=None, n_agents=None,
                             return_overflow=True,
                             cell_margin=cell_margin or cfg.cell_margin,
                             cap=cell_cap or cfg.cell_cap or None,
+                            cell_edge_mult=cell_edge_mult
+                            or cfg.cell_edge_mult,
                             traj_agents=traj_agents if ep == 0 else 0)
         r, final_x, ovf = out[:3]
         if ep == 0 and traj_path:
@@ -276,6 +278,9 @@ def main(argv=None):
     ap.add_argument("--cell-cap", type=int, default=None,
                     help="cell slot-capacity override (large-N path; "
                          "overlapping flocks need 32)")
+    ap.add_argument("--cell-edge-mult", type=float, default=None,
+                    help="pcells cell-edge multiple (occupancy/padding "
+                         "trade; sweep stays exact for any value >= 1)")
     args = ap.parse_args(argv)
     if not args.expert and bool(args.actor_path) == bool(args.actor_base):
         ap.error("exactly one of --actor-path / --actor-base is required "
@@ -305,6 +310,7 @@ def main(argv=None):
                 expert=args.expert, per_episode=args.per_episode,
                 traj_path=args.save_trajectory,
                 cell_margin=args.cell_margin, cell_cap=args.cell_cap,
+                cell_edge_mult=args.cell_edge_mult,
             )
         else:
             stats = evaluate_section(section, path, k=k,

@@ -251,7 +251,7 @@ class DDPG:
     @staticmethod
     def _gradient_step(self, ts: TrainState, batch) -> Tuple[TrainState, jax.Array, jax.Array]:
         cfg = self.cfg
-        critic_loss_fn, actor_loss_fn = DDPG._losses(self, ts, batch)
+        critic_loss_fn, actor_loss_fn = type(self)._losses(self, ts, batch)
 
         c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(ts.critic)
         c_updates, critic_opt = self.critic_tx.update(c_grads, ts.critic_opt)
@@ -261,7 +261,7 @@ class DDPG:
         # optimizes the actor against the critic updated just above
         # (gnn_ddpg.py:205-216 runs after critic_optim.step()).
         ts = ts._replace(critic=critic, critic_opt=critic_opt)
-        _, actor_loss_fn = DDPG._losses(self, ts, batch)
+        _, actor_loss_fn = type(self)._losses(self, ts, batch)
         a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(ts.actor)
         a_updates, actor_opt = self.actor_tx.update(a_grads, ts.actor_opt)
         actor = optax.apply_updates(ts.actor, a_updates)

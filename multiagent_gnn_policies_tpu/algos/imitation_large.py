@@ -110,6 +110,7 @@ class LargeNImitationConfig(ImitationConfig):
     graph_path: str = "auto"
     cell_margin: float = 1.3
     cell_cap: int = 0          # 0 = path default (cfg key cell_cap)
+    cell_edge_mult: float = 1.0  # pcells edge multiple (cfg cell_edge_mult)
 
     @classmethod
     def from_experiment(cls, x: ExperimentConfig, mode: Optional[str] = None,
@@ -124,6 +125,7 @@ class LargeNImitationConfig(ImitationConfig):
             graph_path=x.graph_path,
             cell_cap=x.cell_cap,
             cell_margin=x.cell_margin,
+            cell_edge_mult=x.cell_edge_mult,
         )
 
 
@@ -250,7 +252,8 @@ class LargeNImitationLearner(ImitationLearner):
                 make_pcell_spec,
             )
             cell_spec = make_pcell_spec(p, cap=cfg.cell_cap or 16,
-                                        margin=cfg.cell_margin, n_dev=n_dev)
+                                        margin=cfg.cell_margin, n_dev=n_dev,
+                                        edge_mult=cfg.cell_edge_mult)
         rows = p.n_agents // n_dev
         self._lcfg = LargeNConfig(
             params=p, block=pick_block(rows), rows=rows,
@@ -389,6 +392,7 @@ class LargeNImitationLearner(ImitationLearner):
                 mesh=self.mesh, path=self._lcfg.path,
                 cell_margin=cfg.cell_margin, return_overflow=True,
                 cap=cfg.cell_cap or None,
+                cell_edge_mult=cfg.cell_edge_mult,
             )
             tot = float(np.asarray(r).sum())
             if int(ovf) or not np.isfinite(tot):

@@ -105,14 +105,28 @@ class PCellSpec(NamedTuple):
 
 
 def make_pcell_spec(
-    p: FlockingParams, cap: int = 16, margin: float = 1.3, n_dev: int = 1
+    p: FlockingParams, cap: int = 16, margin: float = 1.3, n_dev: int = 1,
+    edge_mult: float = 1.0,
 ) -> PCellSpec:
     """Grid sized for ``p``'s initial swarm extent times ``margin``
-    (ops/cells.py:make_cell_spec sizing argument; ``cap = 16`` puts the
-    Poisson(~2.1) per-cell occupancy overflow probability below 1e-10).
-    ``n_dev > 1`` rounds ``cx`` so each device sweeps an equal band of
-    grid rows (see :func:`frame` ``row_range``)."""
-    cell = max(p.comm_radius, 1.0)
+    (ops/cells.py:make_cell_spec sizing argument). ``n_dev > 1`` rounds
+    ``cx`` so each device sweeps an equal band of grid rows (see
+    :func:`frame` ``row_range``).
+
+    ``edge_mult``: cell edge as a multiple of the minimum legal edge
+    ``max(comm_radius, 1.0)`` (any edge >= that keeps the 3x3 neighbor
+    sweep exact — it only admits more out-of-radius candidates, which the
+    kernels' r^2 mask rejects). The knob trades per-cell occupancy
+    against grid area: the sweep's cost is cx * cy_pad * 9 * cap^2
+    REGARDLESS of occupancy, and at the canonical density the default
+    edge gives ~1 agent/cell — 16x slot padding and ~250x pair-compute
+    padding. ``edge_mult = 2`` quarters grid area (4x less kernel compute
+    and slot-table traffic) while raising mean occupancy toward ~4 of the
+    same ``cap`` — the r5 roofline's single biggest lever. Flocking
+    compression raises local density over an episode; the per-step
+    overflow certificate remains the exactness gate exactly as for
+    ``margin``/``cap``."""
+    cell = max(p.comm_radius, 1.0) * edge_mult
     extent = 2.0 * math.sqrt(p.arena_r2_per_agent * p.n_agents) * margin
     need = max(3, math.ceil(extent / cell) + 2)
     return PCellSpec(cx=_ceil_to(need, max(1, n_dev)), cy=need,

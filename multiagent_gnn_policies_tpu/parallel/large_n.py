@@ -501,6 +501,7 @@ def rollout_large(
     cap: Optional[int] = None,
     path: Optional[str] = None,
     cell_margin: float = 1.3,
+    cell_edge_mult: float = 1.0,
     return_overflow: bool = False,
     force_n_dev: Optional[int] = None,
     traj_agents: int = 0,
@@ -542,6 +543,11 @@ def rollout_large(
       cap: per-cell capacity (default 32 binned / 12 cells).
       cell_margin: cells-path grid extent as a multiple of the swarm's
         initial extent (overflow certifies sufficiency per step).
+      cell_edge_mult: pcells cell edge as a multiple of the minimum legal
+        edge (ops/pallas_cells.py:make_pcell_spec — the sweep stays exact
+        for any value >= 1; 2.0 quarters slot count and kernel area at
+        the canonical density, with the overflow gate still certifying
+        capacity per step).
       force_n_dev: MEASUREMENT KNOB — partition the sweeps as if the mesh
         had this many devices while running on the given (smaller) mesh.
         On a 1-device mesh each step then executes exactly device 0's
@@ -591,7 +597,7 @@ def rollout_large(
         from multiagent_gnn_policies_tpu.ops.pallas_cells import make_pcell_spec
 
         cell_spec = make_pcell_spec(p, cap=cap or 16, margin=cell_margin,
-                                    n_dev=n_dev)
+                                    n_dev=n_dev, edge_mult=cell_edge_mult)
     cfg = LargeNConfig(
         params=p, block=blk, rows=rows,
         axis=axis if mesh is not None else None,

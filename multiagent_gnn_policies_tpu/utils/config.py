@@ -96,6 +96,11 @@ class ExperimentConfig:
     # — the exactness gate rejects an undersized grid).
     cell_cap: int = 0
     cell_margin: float = 1.3
+    # pcells cell edge as a multiple of the minimum legal edge (the r5
+    # occupancy/padding lever — ops/pallas_cells.py:make_pcell_spec;
+    # the sweep stays exact for any value >= 1, and the per-step
+    # overflow certificate still gates capacity)
+    cell_edge_mult: float = 1.0
     # include the replay buffer in --state-dir checkpoints (True =
     # bit-exact resume; False = cheap checkpoints, resume refills the
     # buffer — algos/imitation.py:ImitationConfig.checkpoint_buffer)
@@ -166,6 +171,7 @@ class ExperimentConfig:
             graph_path=gets("graph_path", d.graph_path).lower(),
             cell_cap=geti("cell_cap", d.cell_cap),
             cell_margin=getf("cell_margin", d.cell_margin),
+            cell_edge_mult=getf("cell_edge_mult", d.cell_edge_mult),
             checkpoint_buffer=getb("checkpoint_buffer", d.checkpoint_buffer),
             trainer=gets("trainer", d.trainer).lower(),
         )

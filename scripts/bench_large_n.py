@@ -30,6 +30,8 @@ def main(argv=None):
                     default=["blocked", "cells", "pcells"])
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--edge-mult", type=float, default=1.0,
+                    help="pcells cell-edge multiple (make_pcell_spec)")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.utils.jax_setup import (
@@ -56,7 +58,7 @@ def main(argv=None):
                 t0 = time.perf_counter()
                 r, _, ovf = rollout_large(
                     params, acfg, jax.random.key(3), p, path=path,
-                    return_overflow=True,
+                    return_overflow=True, cell_edge_mult=args.edge_mult,
                 )
                 float(np.asarray(r).sum())
                 compile_s = time.perf_counter() - t0
@@ -65,6 +67,7 @@ def main(argv=None):
                     r, _, ovf = rollout_large(
                         params, acfg, jax.random.key(4 + e), p, path=path,
                         return_overflow=True,
+                        cell_edge_mult=args.edge_mult,
                     )
                     float(np.asarray(r).sum())
                 dt = (time.perf_counter() - t0) / args.episodes

@@ -61,6 +61,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--mode", default="band", choices=["band", "mesh"])
+    ap.add_argument("--edge-mult", type=float, default=1.0,
+                    help="pcells cell-edge multiple (occupancy/padding "
+                         "trade; make_pcell_spec edge_mult)")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.utils.jax_setup import (
@@ -104,7 +107,7 @@ def main(argv=None):
         def run():
             r, _, ovf = rollout_large(
                 params, acfg, jax.random.key(1), p, path=args.path,
-                return_overflow=True, **kw,
+                return_overflow=True, cell_edge_mult=args.edge_mult, **kw,
             )
             # host sync via np.asarray — block_until_ready is a no-op on
             # the axon TPU tunnel (same workaround as bench.py)

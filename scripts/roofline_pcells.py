@@ -116,6 +116,9 @@ def main(argv=None):
                     help="time the banded per-device components of a "
                          "D-chip mesh (device 0's grid-row band; "
                          "collectives excluded, like force_n_dev)")
+    ap.add_argument("--edge-mult", type=float, default=1.0,
+                    help="cell edge multiple (make_pcell_spec edge_mult: "
+                         "occupancy/padding trade)")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.envs.flocking import (
@@ -131,7 +134,7 @@ def main(argv=None):
 
     n, k, reps = args.n, args.k, args.reps
     p = FlockingParams(n_agents=n, episode_steps=8)
-    spec = make_pcell_spec(p)
+    spec = make_pcell_spec(p, edge_mult=args.edge_mult)
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
     f = 6
     c_cols = (k - 1) * f                       # fused s=0 apply columns

@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--edge-mult", type=float, default=1.0,
+                    help="pcells cell-edge multiple (occupancy/padding "
+                         "trade; make_pcell_spec edge_mult)")
     ap.add_argument("--traj", default=None,
                     help="dump a 2000-agent subset trajectory npz here")
     args = ap.parse_args()
@@ -55,6 +58,7 @@ def main() -> int:
     t0 = time.perf_counter()
     out = rollout_large(params, acfg, jax.random.key(11), p, path="pcells",
                         return_overflow=True, scan_chunks=args.chunks,
+                        cell_edge_mult=args.edge_mult,
                         traj_agents=traj_agents)
     r, final_x, ovf = out[:3]
     tot = float(np.asarray(r).sum())
@@ -66,6 +70,7 @@ def main() -> int:
     t0 = time.perf_counter()
     out = rollout_large(params, acfg, jax.random.key(12), p, path="pcells",
                         return_overflow=True, scan_chunks=args.chunks,
+                        cell_edge_mult=args.edge_mult,
                         traj_agents=traj_agents)
     r2, final_x, ovf2 = out[:3]    # final frame of THIS episode (the one
                                    # whose trajectory is saved below)

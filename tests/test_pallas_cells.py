@@ -322,6 +322,33 @@ def test_frame_apply_fused_parity(c):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("edge_mult", [1.5, 2.0])
+def test_edge_mult_parity(edge_mult):
+    """A larger-than-minimum cell edge (the r5 occupancy/padding lever)
+    keeps the 3x3 sweep exact: frame quantities and the transpose-apply
+    must match the default-edge grid on the same swarm."""
+    from multiagent_gnn_policies_tpu.ops.pallas_cells import make_pcell_spec
+
+    key = jax.random.key(3)
+    x = _state(key)
+    cols = jax.random.normal(jax.random.fold_in(key, 2), (48, 6))
+    spec2 = make_pcell_spec(P, edge_mult=edge_mult)
+    assert spec2.cell == pytest.approx(max(P.comm_radius, 1.0) * edge_mult)
+    g1 = build_pcell_grid(x[:, :2], SPEC)
+    g2 = build_pcell_grid(x[:, :2], spec2)
+    assert int(g2.overflow) == 0
+    fq1 = frame(x, g1, SPEC, P, True)
+    fq2 = frame(x, g2, spec2, P, True)
+    for f in ("values", "degree", "expert", "min_r2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fq2, f)), np.asarray(getattr(fq1, f)),
+            atol=1e-5, err_msg=f,
+        )
+    a1 = apply_adjT(x[:, :2], fq1.degree, cols, SPEC, P, g1)
+    a2 = apply_adjT(x[:, :2], fq2.degree, cols, spec2, P, g2)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-5)
+
+
 @pytest.mark.parametrize("max_cols", [5, 6])
 def test_frame_apply_max_cols_parity(max_cols):
     """Column-chunked fused apply (the r5 HBM-ceiling knob that lets the

@@ -68,8 +68,16 @@ def run_experiment(section, metrics_path=None, state_dir=None,
         trainers["dagger"] = train_dagger_large
         trainers["cloning"] = train_cloning_large
     if cfg.alg == "ddpg":
-        from multiagent_gnn_policies_tpu.algos.ddpg import train_ddpg
-        trainers["ddpg"] = train_ddpg
+        if use_large:
+            # positions-record replay + graph-from-positions updates: the
+            # dense (K,N,N) record is unusable at these N (algos/ddpg_large)
+            from multiagent_gnn_policies_tpu.algos.ddpg_large import (
+                train_ddpg_large,
+            )
+            trainers["ddpg"] = train_ddpg_large
+        else:
+            from multiagent_gnn_policies_tpu.algos.ddpg import train_ddpg
+            trainers["ddpg"] = train_ddpg
     if cfg.alg not in trainers:
         raise SystemExit(f"Invalid algorithm/mode name: {cfg.alg!r}")
 
