@@ -308,7 +308,14 @@ def _pack(
     replicated per device before this, flooring band-mode scaling at
     64% efficiency on 2 devices (results/scaling_band_n100k_r3.log).
     ``None`` = the full grid (identical to the banded form with
-    ``start=0, local=cx``)."""
+    ``start=0, local=cx``).
+
+    Layout note (r5): a per-channel-gather variant (gather from the
+    transposed ``(C, N+1)`` table + large-block transpose) was measured
+    SLOWER at N=100k (pack 1.3 -> 3.2 ms, and the downstream kernel paid
+    an input relayout: frame sweep 8.1 -> 10.2 ms —
+    results/roofline_n100k_v2.log vs roofline_n100k.log), so the
+    row-gather + per-row transpose form below stands."""
     n, c = vals.shape
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
     start, local = (0, cx) if row_range is None else row_range
@@ -328,16 +335,24 @@ def _pack(
 def _unpack(
     grid: PCellGrid, spec: PCellSpec, out: jax.Array, fill: float = 0.0
 ) -> jax.Array:
-    """(cx, Q·cap, cy_pad) kernel output -> (N, Q) per-agent values (dense
-    transform back to the slot table + one row gather); dropped agents get
-    ``fill``."""
+    """(cx, Q·cap, cy_pad) kernel output -> (N, Q) per-agent values;
+    dropped agents get ``fill``.
+
+    r5 layout: one LARGE-BLOCK transpose to channel-major ``(Q, cx·cap·
+    cyp)`` (contiguous ``cap x cyp`` tiles) + one batched gather at the
+    padded-lane flat index — the r4 form cropped the halo lanes and
+    transposed ``(q, cap, cy) -> (cap, cy, q)`` per row, a small-element
+    shuffle that measured 9.2 ms at N=100k (41x off HBM; RESULTS §9)."""
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
     q = out.shape[1] // cap
-    t = out[:, :, 1:1 + cy].reshape(cx, q, cap, cy)
-    table = t.transpose(0, 2, 3, 1).reshape(cx * cap * cy, q)
-    ok = grid.slot[:, None] >= 0
-    vals = table[jnp.where(grid.slot >= 0, grid.slot, 0)]
-    return jnp.where(ok, vals, fill)
+    t = out.reshape(cx, q, cap, cyp).transpose(1, 0, 2, 3)
+    t = t.reshape(q, cx * cap * cyp)
+    slot = grid.slot
+    ok = slot >= 0
+    s = jnp.where(ok, slot, 0)
+    idx = (s // cy) * cyp + 1 + s % cy      # padded-lane flat index
+    vals = jnp.take(t, idx, axis=1).T       # (N, Q)
+    return jnp.where(ok[:, None], vals, fill)
 
 
 def _unpack_band(
@@ -348,14 +363,17 @@ def _unpack_band(
     ``[start, start + local)``; agents outside the band (and dropped
     agents) get ``fill``. A ``psum`` over the mesh then completes the
     (N, Q) table — only O(N·Q) bytes cross chips, never the (much larger)
-    kernel-layout slot table."""
-    local, cy, cap = out.shape[0], spec.cy, spec.cap
+    kernel-layout slot table. Same transpose-free layout as
+    :func:`_unpack`."""
+    local, cy, cap, cyp = out.shape[0], spec.cy, spec.cap, spec.cy_pad
     q = out.shape[1] // cap
-    t = out[:, :, 1:1 + cy].reshape(local, q, cap, cy)
-    table = t.transpose(0, 2, 3, 1).reshape(local * cap * cy, q)
-    idx = grid.slot - start * cap * cy
-    ok = (grid.slot >= 0) & (idx >= 0) & (idx < local * cap * cy)
-    vals = table[jnp.where(ok, idx, 0)]
+    t = out.reshape(local, q, cap, cyp).transpose(1, 0, 2, 3)
+    t = t.reshape(q, local * cap * cyp)
+    rel = grid.slot - start * cap * cy
+    ok = (grid.slot >= 0) & (rel >= 0) & (rel < local * cap * cy)
+    s = jnp.where(ok, rel, 0)
+    idx = (s // cy) * cyp + 1 + s % cy
+    vals = jnp.take(t, idx, axis=1).T
     return jnp.where(ok[:, None], vals, fill)
 
 
@@ -763,10 +781,18 @@ def frame_apply(
     n = x.shape[0]
     c = cols.shape[-1]
     valid = jnp.ones((n, 1), x.dtype)
-    geo = _pack(grid, spec, jnp.concatenate([x, valid], axis=-1),
-                row_range=row_range)
+    # ONE pack for geometry + columns (the pack's gather/layout cost is
+    # per-slot, nearly channel-count-independent — two separate packs
+    # measured ~2x one combined pack); the kernels then consume sublane
+    # WINDOWS of it: the frame sweep reads only the 5 geometry channels
+    # (the r4 single-table fusion streamed all 5+C channels through the
+    # frame kernel), the apply sweeps read geometry + their column chunk.
+    cap = spec.cap
+    packed = _pack(grid, spec, jnp.concatenate([x, valid, cols], axis=-1),
+                   row_range=row_range)
+    geo = packed[:, :5 * cap, :]
     fkernel = functools.partial(
-        _frame_kernel, cap=spec.cap,
+        _frame_kernel, cap=cap,
         r2cut=float(p.comm_radius) ** 2, centralized=centralized,
     )
     fout = _sweep(fkernel, spec.cx, grid.row_count, geo,
@@ -786,15 +812,15 @@ def frame_apply(
     step_c = c if max_cols is None else min(max_cols, c)
     aouts = []
     for c0 in range(0, c, step_c):
-        cc = cols[:, c0:c0 + step_c]
-        colt = _pack(grid, spec, cc, row_range=row_range)
+        cc = min(step_c, c - c0)
+        colt = packed[:, (5 + c0) * cap:(5 + c0 + cc) * cap, :]
         akernel = functools.partial(
-            _apply_deg_kernel, cap=spec.cap, c=cc.shape[-1],
+            _apply_deg_kernel, cap=cap, c=cc,
             r2cut=float(p.comm_radius) ** 2,
         )
         aouts.append(_sweep_deg(
             akernel, spec.cx, grid.row_count, geo, colt, fpad,
-            cc.shape[-1] * spec.cap, interpret, row_range=row_range,
+            cc * cap, interpret, row_range=row_range,
         ))
     both = jnp.concatenate([fout] + aouts, axis=1)  # (rows, (10+C)·cap, cyp)
     if axis_name is not None:

@@ -136,10 +136,15 @@ def _use_fused(cfg: LargeNConfig, acfg, expert_mode: bool) -> bool:
 
 
 def _fused_max_cols(cfg: LargeNConfig) -> Optional[int]:
-    """Apply-pass column chunking for the fused sweep — same threshold
-    and chunk width as the unfused y-stack path (ops/pallas_cells.py:
-    ystack ``max_cols`` rationale: bound the largest live slot table)."""
-    return 6 if cfg.params.n_agents > 300_000 else None
+    """Apply-pass column chunking for the fused sweep. With the r5 shared
+    pack the apply chunks are sublane WINDOWS of one packed table, so
+    chunking no longer bounds the step's peak buffer (the full
+    (5+C)-channel pack exists either way — ~580 MB at N=1M, which fits
+    the 16 GB HBM comfortably now that it is the only large live buffer);
+    a single apply pass avoids re-streaming the geometry window per
+    chunk. The unfused y-stack path keeps its own ``max_cols`` for the
+    expert-mode/large-K shapes (ops/pallas_cells.py:ystack)."""
+    return None
 
 
 def _s0_cols(carry) -> jax.Array:

@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--edge-mult", type=float, default=1.0,
                     help="pcells cell-edge multiple (make_pcell_spec)")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="cell slot capacity override")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.utils.jax_setup import (
@@ -59,24 +61,29 @@ def main(argv=None):
                 r, _, ovf = rollout_large(
                     params, acfg, jax.random.key(3), p, path=path,
                     return_overflow=True, cell_edge_mult=args.edge_mult,
+                    cap=args.cap,
                 )
                 float(np.asarray(r).sum())
                 compile_s = time.perf_counter() - t0
                 t0 = time.perf_counter()
+                max_ovf, bad = 0, 0
                 for e in range(args.episodes):
                     r, _, ovf = rollout_large(
                         params, acfg, jax.random.key(4 + e), p, path=path,
                         return_overflow=True,
-                        cell_edge_mult=args.edge_mult,
+                        cell_edge_mult=args.edge_mult, cap=args.cap,
                     )
-                    float(np.asarray(r).sum())
+                    tot = float(np.asarray(r).sum())
+                    max_ovf = max(max_ovf, int(ovf))
+                    bad += 0 if np.isfinite(tot) else 1
+                ovf = max_ovf
                 dt = (time.perf_counter() - t0) / args.episodes
                 sps = args.steps / dt
                 print(
                     f"N={n:>7} {path:>8}: compile+first {compile_s:7.1f}s | "
                     f"{sps:8.1f} steps/s | {sps * n * 6.7 * K:.3e} edges/s | "
                     f"{dt / args.steps * 1e3:7.2f} ms/step | "
-                    f"overflow={int(ovf)}",
+                    f"overflow={int(ovf)} nonfinite_eps={bad}",
                     flush=True,
                 )
             except Exception as e:

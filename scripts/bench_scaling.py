@@ -64,6 +64,8 @@ def main(argv=None):
     ap.add_argument("--edge-mult", type=float, default=1.0,
                     help="pcells cell-edge multiple (occupancy/padding "
                          "trade; make_pcell_spec edge_mult)")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="cell slot capacity override")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.utils.jax_setup import (
@@ -107,7 +109,8 @@ def main(argv=None):
         def run():
             r, _, ovf = rollout_large(
                 params, acfg, jax.random.key(1), p, path=args.path,
-                return_overflow=True, cell_edge_mult=args.edge_mult, **kw,
+                return_overflow=True, cell_edge_mult=args.edge_mult,
+                cap=args.cap, **kw,
             )
             # host sync via np.asarray — block_until_ready is a no-op on
             # the axon TPU tunnel (same workaround as bench.py)

@@ -42,6 +42,8 @@ def main() -> int:
     ap.add_argument("--edge-mult", type=float, default=1.0,
                     help="pcells cell-edge multiple (occupancy/padding "
                          "trade; make_pcell_spec edge_mult)")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="cell slot capacity override")
     ap.add_argument("--traj", default=None,
                     help="dump a 2000-agent subset trajectory npz here")
     args = ap.parse_args()
@@ -58,7 +60,7 @@ def main() -> int:
     t0 = time.perf_counter()
     out = rollout_large(params, acfg, jax.random.key(11), p, path="pcells",
                         return_overflow=True, scan_chunks=args.chunks,
-                        cell_edge_mult=args.edge_mult,
+                        cell_edge_mult=args.edge_mult, cap=args.cap,
                         traj_agents=traj_agents)
     r, final_x, ovf = out[:3]
     tot = float(np.asarray(r).sum())
@@ -70,7 +72,7 @@ def main() -> int:
     t0 = time.perf_counter()
     out = rollout_large(params, acfg, jax.random.key(12), p, path="pcells",
                         return_overflow=True, scan_chunks=args.chunks,
-                        cell_edge_mult=args.edge_mult,
+                        cell_edge_mult=args.edge_mult, cap=args.cap,
                         traj_agents=traj_agents)
     r2, final_x, ovf2 = out[:3]    # final frame of THIS episode (the one
                                    # whose trajectory is saved below)
