@@ -144,13 +144,18 @@ class PCellGrid(NamedTuple):
         scatter form measured ~5 ms per pack at N=100k on v5e because the
         scatter can't fuse with its zero-init; the gather runs at HBM
         bandwidth).
-      row_count: (cx,) int32 agents per grid row (kernel skip flags).
       overflow: () int32 dropped-agent count; 0 => the sweep is exact.
+
+    The per-row kernel skip flags and occupancy-branch bounds are NOT
+    stored here: they are derived per sweep from the packed table's valid
+    channel with dense reductions (:func:`_occ_prefetch`) — the former
+    per-step ``row_count`` scatter-add (and a prototype per-row
+    scatter-max) measured ~0.5 ms/step at N=32k, replicated on every
+    device, the single largest term of the multi-chip fixed-cost floor.
     """
 
     slot: jax.Array
     agent: jax.Array
-    row_count: jax.Array
     overflow: jax.Array
 
 
@@ -185,11 +190,8 @@ def _grid_tables(spec: PCellSpec, slot: jax.Array, n_ok: jax.Array):
     agent = jnp.full((nslot + 1,), n, jnp.int32).at[
         jnp.where(slot >= 0, slot, nslot)
     ].set(jnp.arange(n, dtype=jnp.int32))[:-1]
-    row_count = jnp.zeros((spec.cx,), jnp.int32).at[
-        jnp.where(slot >= 0, slot // (spec.cap * spec.cy), 0)
-    ].add(jnp.where(slot >= 0, 1, 0))
     return PCellGrid(
-        slot=slot, agent=agent, row_count=row_count,
+        slot=slot, agent=agent,
         overflow=(n - n_ok).astype(jnp.int32),
     )
 
@@ -241,9 +243,11 @@ def build_pcell_grid_sharded(
       3. ``all_gather`` of the local slot assignments -> full (N,) slot
          array; the O(N) int32 scatter tables are built locally.
 
-    Interconnect per build: D·cx·cy·4 B of counts + N·4 B of slots
-    (~6 MB at N=100k, D=8 — well under a millisecond on ICI, against the
-    ~milliseconds of argsort it removes from every device).
+    Interconnect per build: D·cx·cy·4 B of counts + N·4 B of slots +
+    cx·cap·cy·4 B for the agent-table pmin merge (~13 MB at N=100k, D=8 —
+    well under a millisecond on ICI, against the ~milliseconds of argsort
+    + the 0.15 ms/step serialized agent scatter it removes from every
+    device).
 
     Args:
       emulated: single-device band-timing mode (rollout_large
@@ -280,13 +284,44 @@ def build_pcell_grid_sharded(
     )
     slot_local = jnp.zeros((local,), jnp.int32).at[order].set(slot_sorted)
     n_ok_local = jnp.sum(ok)
+    # the agent table (the pack's gather index) is built DISTRIBUTED too:
+    # each device scatters only its own index slice's agents (N/D updates
+    # — the scatter serializes per update on TPU, so this is the term
+    # that made the replicated _grid_tables the largest fixed cost of the
+    # D=8 band at N=32k: 0.15 ms/step, XProf fusion.217) and a pmin over
+    # the mesh merges the tables exactly (each slot is claimed by at most
+    # one agent globally; unclaimed slots hold the init N > any id).
+    nslot = spec.cx * spec.cap * spec.cy
+    gids = d * local + jnp.arange(local, dtype=jnp.int32)
+    agent_local = jnp.full((nslot + 1,), n, jnp.int32).at[
+        jnp.where(slot_local >= 0, slot_local, nslot)
+    ].set(gids)[:-1]
     if emulated:
         slot = jnp.tile(slot_local, n_dev)
         n_ok = n_ok_local * n_dev
+        # density-faithful emulation: the real pmin-merged table holds all
+        # N agents, the local one only this slice's N/D. Superpose n_dev
+        # LANE-ROTATED copies of the local table, each in its own rank
+        # block, so per-cell occupancy is a sum of n_dev independent-ish
+        # thinned draws — statistically the real merged density (a plain
+        # rank-block tile concentrates cells at 0-or-n_dev·blk occupancy,
+        # which mispriced the occupancy branches: most rows hit the top
+        # rung and the kernels timed 2.5x the real cost). Values are
+        # garbage (as documented: band results are timings, not episodes);
+        # the occupancy distribution that prices the adaptive kernels and
+        # the pack/unpack traffic is right.
+        a3 = agent_local.reshape(spec.cx, spec.cap, spec.cy)
+        blk = max(1, spec.cap // n_dev)
+        parts = [jnp.roll(a3[:, :blk, :], 17 * r + 1, axis=2)
+                 for r in range(-(-spec.cap // blk))]
+        agent = jnp.concatenate(parts, axis=1)[:, :spec.cap, :].reshape(nslot)
     else:
         slot = jax.lax.all_gather(slot_local, axis_name, tiled=True)  # (N,)
         n_ok = jax.lax.psum(n_ok_local, axis_name)
-    return _grid_tables(spec, slot, n_ok)
+        agent = jax.lax.pmin(agent_local, axis_name)
+    return PCellGrid(
+        slot=slot, agent=agent, overflow=(n - n_ok).astype(jnp.int32),
+    )
 
 
 def _pack(
@@ -410,8 +445,44 @@ def _group_sum(x: jax.Array, cap: int) -> jax.Array:
 _OFFS = [(dx, dy) for dx in range(3) for dy in (-1, 0, 1)]
 
 
+def _cap_branches(cap: int):
+    """Effective-cap ladder for the occupancy-adaptive pair sweep:
+    multiples of the 8-sublane tile up to ``cap`` (always ending at
+    ``cap``). Each grid row's kernel program picks the smallest rung
+    covering the prefetched 3-row max cell occupancy — sub-slots past a
+    cell's packed count carry ``valid = 0``, so truncating the pair block
+    to the rung is EXACT (identical sums, same addend order) while
+    skipping the quadratic padding compute: at the canonical density the
+    mean occupancy is ~1-4 of cap = 16-24 sub-slots, so most rows run the
+    8-rung at (8/cap)^2 of the full pair block (RESULTS §9: the cap^2
+    padding is the kernels' dominant cost)."""
+    bs, c = [], 8
+    while c < cap:
+        bs.append(c)
+        c += 8
+    bs.append(cap)
+    return bs
+
+
+def _row_branches(rowpf_ref, i, cap: int):
+    """(condition, effective_cap) pairs for the occupancy branches of grid
+    row ``i`` — mutually exclusive, exhaustive over ``rowcnt > 0``."""
+    cnt, occ = rowpf_ref[i, 0], rowpf_ref[i, 1]
+    out, lo = [], 0
+    ladder = _cap_branches(cap)
+    for ce in ladder:
+        cond = (cnt > 0) & (occ > lo)
+        if ce != ladder[-1]:
+            cond &= occ <= ce
+        out.append((cond, ce))
+        lo = ce
+    return out
+
+
 def _frame_kernel(
-    rowcnt_ref,                 # (cx,) int32 scalar prefetch: agents per row
+    rowpf_ref,                  # (cx, 2) int32 scalar prefetch:
+                                #   [:, 0] agents per row (skip flag)
+                                #   [:, 1] 3-row max cell occupancy
     prev_ref, cur_ref, next_ref,  # (1, 5·cap, cy_pad): x|y|vx|vy|valid
     out_ref,                    # (1, 10·cap, cy_pad):
                                 #   v0..v5 | degree | gx | gy | min_r2
@@ -419,33 +490,33 @@ def _frame_kernel(
 ):
     i = pl.program_id(0)
 
-    @pl.when(rowcnt_ref[i] == 0)
+    @pl.when(rowpf_ref[i, 0] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
         out_ref[0, 9 * cap:, :] = jnp.full_like(out_ref[0, 9 * cap:, :], 1e12)
 
-    @pl.when(rowcnt_ref[i] > 0)
-    def _():
+    def body(ce: int):
         cur = cur_ref[0]
-        sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
-        svx = _expand_a(cur[2 * cap:3 * cap], cap)
-        svy = _expand_a(cur[3 * cap:4 * cap], cap)
-        sval = _expand_a(cur[4 * cap:5 * cap], cap)
+        ch = lambda blk, q: blk[q * cap:q * cap + ce]
+        sx, sy = _expand_a(ch(cur, 0), ce), _expand_a(ch(cur, 1), ce)
+        svx = _expand_a(ch(cur, 2), ce)
+        svy = _expand_a(ch(cur, 3), ce)
+        sval = _expand_a(ch(cur, 4), ce)
 
-        # self-pair rows of the center offset: sublane a·cap + b with a == b
+        # self-pair rows of the center offset: sublane a·ce + b with a == b
         lane = sx.shape[-1]
-        r = jax.lax.broadcasted_iota(jnp.int32, (cap * cap, lane), 0)
-        not_self = (r // cap != r % cap)
+        r = jax.lax.broadcasted_iota(jnp.int32, (ce * ce, lane), 0)
+        not_self = (r // ce != r % ce)
 
-        accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(9)]
-        min_r2 = jnp.full((cap, lane), 1e12, cur.dtype)
+        accs = [jnp.zeros((ce, lane), cur.dtype) for _ in range(9)]
+        min_r2 = jnp.full((ce, lane), 1e12, cur.dtype)
         rows = (prev_ref, cur_ref, next_ref)
         for dx, dy in _OFFS:
             nb = _lane_shift(rows[dx][0], dy)
-            nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
-            nvx = _expand_b(nb[2 * cap:3 * cap], cap)
-            nvy = _expand_b(nb[3 * cap:4 * cap], cap)
-            ok = sval * _expand_b(nb[4 * cap:5 * cap], cap)
+            nx, ny = _expand_b(ch(nb, 0), ce), _expand_b(ch(nb, 1), ce)
+            nvx = _expand_b(ch(nb, 2), ce)
+            nvy = _expand_b(ch(nb, 3), ce)
+            ok = sval * _expand_b(ch(nb, 4), ce)
             if dx == 1 and dy == 0:
                 ok = jnp.where(not_self, ok, 0.0)
             dxp, dyp = sx - nx, sy - ny
@@ -469,54 +540,64 @@ def _frame_kernel(
                      dvy * m, dyp * inv4 * m, dyp * inv2 * m,
                      m, gx, gy)
             for q in range(9):
-                accs[q] = accs[q] + _group_sum(parts[q], cap)
+                accs[q] = accs[q] + _group_sum(parts[q], ce)
             min_r2 = jnp.minimum(
                 min_r2,
-                jnp.min(jnp.where(ok > 0, r2, 1e12).reshape(cap, cap, lane),
+                jnp.min(jnp.where(ok > 0, r2, 1e12).reshape(ce, ce, lane),
                         axis=1),
             )
-        out_ref[0] = jnp.concatenate(accs + [min_r2], axis=0)
+        pad = ((0, cap - ce), (0, 0))
+        out_ref[0] = jnp.concatenate(
+            [jnp.pad(a, pad) for a in accs]
+            + [jnp.pad(min_r2, pad, constant_values=1e12)], axis=0)
+
+    for cond, ce in _row_branches(rowpf_ref, i, cap):
+        pl.when(cond)(functools.partial(body, ce))
 
 
 def _apply_kernel(
-    rowcnt_ref,                 # (cx,) int32
+    rowpf_ref,                  # (cx, 2) int32 (see _frame_kernel)
     prev_ref, cur_ref, next_ref,  # (1, (3 + C)·cap, cy_pad): x|y|valid|cols
     out_ref,                    # (1, C·cap, cy_pad)
     *, cap: int, c: int, r2cut: float,
 ):
     i = pl.program_id(0)
 
-    @pl.when(rowcnt_ref[i] == 0)
+    @pl.when(rowpf_ref[i, 0] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(rowcnt_ref[i] > 0)
-    def _():
+    def body(ce: int):
         cur = cur_ref[0]
-        sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
-        sval = _expand_a(cur[2 * cap:3 * cap], cap)
+        ch = lambda blk, q: blk[q * cap:q * cap + ce]
+        sx, sy = _expand_a(ch(cur, 0), ce), _expand_a(ch(cur, 1), ce)
+        sval = _expand_a(ch(cur, 2), ce)
         lane = sx.shape[-1]
-        r = jax.lax.broadcasted_iota(jnp.int32, (cap * cap, lane), 0)
-        not_self = (r // cap != r % cap)
+        r = jax.lax.broadcasted_iota(jnp.int32, (ce * ce, lane), 0)
+        not_self = (r // ce != r % ce)
 
-        accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(c)]
+        accs = [jnp.zeros((ce, lane), cur.dtype) for _ in range(c)]
         rows = (prev_ref, cur_ref, next_ref)
         for dx, dy in _OFFS:
             nb = _lane_shift(rows[dx][0], dy)
-            nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
-            ok = sval * _expand_b(nb[2 * cap:3 * cap], cap)
+            nx, ny = _expand_b(ch(nb, 0), ce), _expand_b(ch(nb, 1), ce)
+            ok = sval * _expand_b(ch(nb, 2), ce)
             if dx == 1 and dy == 0:
                 ok = jnp.where(not_self, ok, 0.0)
             dxp, dyp = sx - nx, sy - ny
             m = jnp.where(dxp * dxp + dyp * dyp < r2cut, ok, 0.0)
             for q in range(c):
-                w = _expand_b(nb[(3 + q) * cap:(4 + q) * cap], cap)
-                accs[q] = accs[q] + _group_sum(m * w, cap)
-        out_ref[0] = jnp.concatenate(accs, axis=0)
+                w = _expand_b(ch(nb, 3 + q), ce)
+                accs[q] = accs[q] + _group_sum(m * w, ce)
+        pad = ((0, cap - ce), (0, 0))
+        out_ref[0] = jnp.concatenate([jnp.pad(a, pad) for a in accs], axis=0)
+
+    for cond, ce in _row_branches(rowpf_ref, i, cap):
+        pl.when(cond)(functools.partial(body, ce))
 
 
 def _apply_deg_kernel(
-    rowcnt_ref,                 # (cx,) int32
+    rowpf_ref,                  # (cx, 2) int32 (see _frame_kernel)
     gprev_ref, gcur_ref, gnext_ref,  # (1, 5·cap, cy_pad): x|y|vx|vy|valid
                                 #   (the SAME geo table the frame kernel
                                 #   consumed — packed once per step)
@@ -543,20 +624,20 @@ def _apply_deg_kernel(
     without repacking geometry."""
     i = pl.program_id(0)
 
-    @pl.when(rowcnt_ref[i] == 0)
+    @pl.when(rowpf_ref[i, 0] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(rowcnt_ref[i] > 0)
-    def _():
+    def body(ce: int):
         cur = gcur_ref[0]
-        sx, sy = _expand_a(cur[0:cap], cap), _expand_a(cur[cap:2 * cap], cap)
-        sval = _expand_a(cur[4 * cap:5 * cap], cap)
+        ch = lambda blk, q: blk[q * cap:q * cap + ce]
+        sx, sy = _expand_a(ch(cur, 0), ce), _expand_a(ch(cur, 1), ce)
+        sval = _expand_a(ch(cur, 4), ce)
         lane = sx.shape[-1]
-        r = jax.lax.broadcasted_iota(jnp.int32, (cap * cap, lane), 0)
-        not_self = (r // cap != r % cap)
+        r = jax.lax.broadcasted_iota(jnp.int32, (ce * ce, lane), 0)
+        not_self = (r // ce != r % ce)
 
-        accs = [jnp.zeros((cap, lane), cur.dtype) for _ in range(c)]
+        accs = [jnp.zeros((ce, lane), cur.dtype) for _ in range(c)]
         grows = (gprev_ref, gcur_ref, gnext_ref)
         crows = (cprev_ref, ccur_ref, cnext_ref)
         drows = (dprev_ref, dcur_ref, dnext_ref)
@@ -564,37 +645,62 @@ def _apply_deg_kernel(
             nb = _lane_shift(grows[dx][0], dy)
             cb = _lane_shift(crows[dx][0], dy)
             db = _lane_shift(drows[dx][0], dy)
-            nx, ny = _expand_b(nb[0:cap], cap), _expand_b(nb[cap:2 * cap], cap)
-            ok = sval * _expand_b(nb[4 * cap:5 * cap], cap)
+            nx, ny = _expand_b(ch(nb, 0), ce), _expand_b(ch(nb, 1), ce)
+            ok = sval * _expand_b(ch(nb, 4), ce)
             if dx == 1 and dy == 0:
                 ok = jnp.where(not_self, ok, 0.0)
             dxp, dyp = sx - nx, sy - ny
             m = jnp.where(dxp * dxp + dyp * dyp < r2cut, ok, 0.0)
-            inv_deg = 1.0 / jnp.maximum(
-                _expand_b(db[6 * cap:7 * cap], cap), 1.0
-            )
+            inv_deg = 1.0 / jnp.maximum(_expand_b(ch(db, 6), ce), 1.0)
             mw = m * inv_deg
             for q in range(c):
-                w = _expand_b(cb[q * cap:(q + 1) * cap], cap)
-                accs[q] = accs[q] + _group_sum(mw * w, cap)
-        out_ref[0] = jnp.concatenate(accs, axis=0)
+                w = _expand_b(ch(cb, q), ce)
+                accs[q] = accs[q] + _group_sum(mw * w, ce)
+        pad = ((0, cap - ce), (0, 0))
+        out_ref[0] = jnp.concatenate([jnp.pad(a, pad) for a in accs], axis=0)
+
+    for cond, ce in _row_branches(rowpf_ref, i, cap):
+        pl.when(cond)(functools.partial(body, ce))
 
 
-def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
-           row_range=None):
+def _occ_prefetch(packed: jax.Array, cap: int, valid_ch: int) -> jax.Array:
+    """(rows+2, C·cap, cyp) packed table -> (rows, 2) int32 scalar
+    prefetch for the sweeps, derived from the packed VALID channel with
+    dense reductions only:
+
+      * ``[:, 0]`` — max packed-cell occupancy of the program's center
+        row (0 => the row holds no packed agents => skip);
+      * ``[:, 1]`` — the max over its 3-row sweep window, the bound that
+        picks the row's occupancy branch (:func:`_cap_branches`).
+
+    A cell's occupancy is the sublane-sum of its valid flags (packed
+    ranks are dense from 0), the row bound the lane-max — regular VPU
+    reductions over a table already in flight to the kernel. The earlier
+    design scattered per-row counts/maxima into grid tables at build
+    time; those scatter-adds measured ~0.5 ms/step REPLICATED on every
+    device at N=32k (XProf fusions 251/252, profile_band8_n32k_r5b) —
+    the single largest term of the multi-chip fixed-cost floor. Derived
+    from the banded pack, the prefetch is also per-band for free (halo
+    rows included, so a band-edge row sees its neighbors' occupancy)."""
+    v = packed[:, valid_ch * cap:(valid_ch + 1) * cap, :]
+    occ = jnp.sum(v, axis=1)                             # (rows+2, cyp)
+    rowm = jnp.max(occ, axis=1).astype(jnp.int32)        # (rows+2,)
+    rm3 = jnp.maximum(jnp.maximum(rowm[:-2], rowm[1:-1]), rowm[2:])
+    return jnp.stack([rowm[1:-1], rm3], axis=1)
+
+
+def _sweep(kernel, packed, out_channels, interpret, valid_ch, cap):
     """Shared pallas_call plumbing: one program per grid row; each reads
     banded rows i-1 / i / i+1 as three overlapping (1, ·, ·) blocks.
 
     ``packed`` is already BANDED by :func:`_pack` (``local + 2`` rows,
-    the device's sweep window including halo rows); ``row_range =
-    (start, local)`` here only selects the matching ``rowcnt`` slice —
-    the multi-chip partition builds each device's pack locally so the
-    per-device gather work shrinks 1/D with the mesh."""
-    _, ch_cap, cyp = packed.shape
-    if row_range is not None:
-        start, local = row_range
-        rowcnt = jax.lax.dynamic_slice(rowcnt, (start,), (local,))
-        grid_rows = local
+    the device's sweep window including halo rows) — the grid size and
+    the occupancy prefetch both derive from it, so the multi-chip
+    partition's per-device work shrinks 1/D with the mesh with no
+    full-grid bookkeeping."""
+    rows2, ch_cap, cyp = packed.shape
+    grid_rows = rows2 - 2
+    rowpf = _occ_prefetch(packed, cap, valid_ch)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -616,22 +722,21 @@ def _sweep(kernel, grid_rows, rowcnt, packed, out_channels, interpret,
             vmem_limit_bytes=_vmem_limit_bytes()   # device-derived, see above
         ),
         interpret=interpret,
-    )(rowcnt, packed, packed, packed)
+    )(rowpf, packed, packed, packed)
     return out
 
 
-def _sweep_deg(kernel, grid_rows, rowcnt, geo, colt, frame_pad,
-               out_channels, interpret, row_range=None):
+def _sweep_deg(kernel, geo, colt, frame_pad, out_channels, interpret,
+               valid_ch, cap):
     """:func:`_sweep` plumbing for the fused apply pass: three banded
     inputs (the 5-channel geometry table, the C-channel raw-column table,
-    and the halo-padded frame output)."""
-    _, gch, cyp = geo.shape
+    and the halo-padded frame output); occupancy prefetch derived from
+    the geometry table's valid channel."""
+    rows2, gch, cyp = geo.shape
     _, cch, _ = colt.shape
     _, fch, _ = frame_pad.shape
-    if row_range is not None:
-        start, local = row_range
-        rowcnt = jax.lax.dynamic_slice(rowcnt, (start,), (local,))
-        grid_rows = local
+    grid_rows = rows2 - 2
+    rowpf = _occ_prefetch(geo, cap, valid_ch)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -659,9 +764,31 @@ def _sweep_deg(kernel, grid_rows, rowcnt, geo, colt, frame_pad,
             vmem_limit_bytes=_vmem_limit_bytes()
         ),
         interpret=interpret,
-    )(rowcnt, geo, geo, geo, colt, colt, colt,
+    )(rowpf, geo, geo, geo, colt, colt, colt,
       frame_pad, frame_pad, frame_pad)
     return out
+
+
+def _expert_from(per: jax.Array, x: jax.Array, centralized: bool,
+                 need_expert: bool) -> jax.Array:
+    """Expert controller from the unpacked frame table, or zeros when the
+    caller never consumes it (``need_expert=False`` — pure policy
+    rollouts; skips the O(N) compensated consensus chain)."""
+    if not need_expert:
+        return jnp.zeros((x.shape[0], 2), x.dtype)
+    gxs, gys = per[:, 7], per[:, 8]
+    if centralized:
+        # O(N) closed form of sum_{j != i}(v_i - v_j), compensated — a plain
+        # f32 mean/sum here amplifies its reduction error by N (measured
+        # 3.5e-2 relative at N=1e5 as N·v_i - Σv, 2e-2 as N·(v_i - mean);
+        # ops/precision.py rationale)
+        cons = centralized_consensus(x[:, 2:4])
+        ux = -(cons[:, 0] + gxs)
+        uy = -(cons[:, 1] + gys)
+    else:
+        ux = -(per[:, 0] + gxs)
+        uy = -(per[:, 3] + gys)
+    return jnp.clip(jnp.stack([ux, uy], -1), -10.0, 10.0)
 
 
 def frame(
@@ -673,9 +800,15 @@ def frame(
     interpret: Optional[bool] = None,
     row_range=None,
     axis_name: Optional[str] = None,
+    need_expert: bool = True,
 ):
     """Frame quantities (ops/blocked.py:blocked_frame semantics) via the
     fused Pallas cell sweep; per-agent outputs.
+
+    ``need_expert = False`` (pure policy rollouts — nothing consumes
+    ``fq.expert``): skips the O(N) compensated velocity-consensus chain
+    (ops/precision.py — log2(N) two-float fold levels, replicated on
+    every device of a mesh) and returns ``expert = 0``.
 
     The centralized expert's velocity-consensus term
     ``sum_{j != i}(v_i - v_j) = N·v_i - sum_j v_j`` is O(N) and computed
@@ -699,8 +832,8 @@ def frame(
         _frame_kernel, cap=spec.cap,
         r2cut=float(p.comm_radius) ** 2, centralized=centralized,
     )
-    out = _sweep(kernel, spec.cx, grid.row_count, packed,
-                 10 * spec.cap, interpret, row_range=row_range)
+    out = _sweep(kernel, packed, 10 * spec.cap, interpret,
+                 valid_ch=4, cap=spec.cap)
     if axis_name is not None:
         per = jax.lax.psum(
             _unpack_band(grid, spec, out, row_range[0]), axis_name
@@ -709,19 +842,7 @@ def frame(
     else:
         per = _unpack(grid, spec, out)                # (N, 10)
         min_r2 = jnp.min(_unpack(grid, spec, out, fill=1e12)[:, 9])
-    gxs, gys = per[:, 7], per[:, 8]
-    if centralized:
-        # O(N) closed form of sum_{j != i}(v_i - v_j), compensated — a plain
-        # f32 mean/sum here amplifies its reduction error by N (measured
-        # 3.5e-2 relative at N=1e5 as N·v_i - Σv, 2e-2 as N·(v_i - mean);
-        # ops/precision.py rationale)
-        cons = centralized_consensus(x[:, 2:4])
-        ux = -(cons[:, 0] + gxs)
-        uy = -(cons[:, 1] + gys)
-    else:
-        ux = -(per[:, 0] + gxs)
-        uy = -(per[:, 3] + gys)
-    expert = jnp.clip(jnp.stack([ux, uy], -1), -10.0, 10.0)
+    expert = _expert_from(per, x, centralized, need_expert)
     return FrameQuantities(
         values=per[:, :6], degree=per[:, 6], expert=expert, min_r2=min_r2,
     )
@@ -739,6 +860,7 @@ def frame_apply(
     axis_name: Optional[str] = None,
     halo_devices: int = 0,
     max_cols: Optional[int] = None,
+    need_expert: bool = True,
 ):
     """Fused frame + adjacency transpose-apply over one shared GEOMETRY
     table.
@@ -795,8 +917,8 @@ def frame_apply(
         _frame_kernel, cap=cap,
         r2cut=float(p.comm_radius) ** 2, centralized=centralized,
     )
-    fout = _sweep(fkernel, spec.cx, grid.row_count, geo,
-                  10 * spec.cap, interpret, row_range=row_range)
+    fout = _sweep(fkernel, geo, 10 * spec.cap, interpret,
+                  valid_ch=4, cap=spec.cap)
     if axis_name is not None and halo_devices > 1:
         # halo exchange: my top halo row is the lower neighbor's LAST
         # swept row, my bottom halo the upper neighbor's FIRST
@@ -819,8 +941,8 @@ def frame_apply(
             r2cut=float(p.comm_radius) ** 2,
         )
         aouts.append(_sweep_deg(
-            akernel, spec.cx, grid.row_count, geo, colt, fpad,
-            cc * cap, interpret, row_range=row_range,
+            akernel, geo, colt, fpad, cc * cap, interpret,
+            valid_ch=4, cap=cap,
         ))
     both = jnp.concatenate([fout] + aouts, axis=1)  # (rows, (10+C)·cap, cyp)
     if axis_name is not None:
@@ -831,15 +953,7 @@ def frame_apply(
     else:
         per = _unpack(grid, spec, both)
         min_r2 = jnp.min(_unpack(grid, spec, both, fill=1e12)[:, 9])
-    gxs, gys = per[:, 7], per[:, 8]
-    if centralized:
-        cons = centralized_consensus(x[:, 2:4])
-        ux = -(cons[:, 0] + gxs)
-        uy = -(cons[:, 1] + gys)
-    else:
-        ux = -(per[:, 0] + gxs)
-        uy = -(per[:, 3] + gys)
-    expert = jnp.clip(jnp.stack([ux, uy], -1), -10.0, 10.0)
+    expert = _expert_from(per, x, centralized, need_expert)
     fq = FrameQuantities(
         values=per[:, :6], degree=per[:, 6], expert=expert, min_r2=min_r2,
     )
@@ -876,8 +990,8 @@ def apply_adjT(
     kernel = functools.partial(
         _apply_kernel, cap=spec.cap, c=c, r2cut=float(p.comm_radius) ** 2
     )
-    out = _sweep(kernel, spec.cx, grid.row_count, packed,
-                 c * spec.cap, interpret, row_range=row_range)
+    out = _sweep(kernel, packed, c * spec.cap, interpret,
+                 valid_ch=2, cap=spec.cap)
     if axis_name is not None:
         return jax.lax.psum(
             _unpack_band(grid, spec, out, row_range[0]), axis_name

@@ -123,6 +123,8 @@ class LargeNConfig(NamedTuple):
     n_dev: int = 1       # mesh axis size (grid-row partition, cell paths)
     emulated: bool = False  # force_n_dev band-timing mode (collectives are
                             # shape-emulated locally; results NOT valid)
+    need_expert: bool = True  # False = pure policy rollout: skip the O(N)
+                              # expert/consensus tail (nothing consumes it)
 
 
 def _use_fused(cfg: LargeNConfig, acfg, expert_mode: bool) -> bool:
@@ -253,10 +255,12 @@ def _frame(cfg: LargeNConfig, x, centralized, apply_cols=None):
                                  row_range=crr, axis_name=ax,
                                  halo_devices=0 if cfg.emulated
                                  else cfg.n_dev,
-                                 max_cols=_fused_max_cols(cfg))
+                                 max_cols=_fused_max_cols(cfg),
+                                 need_expert=cfg.need_expert)
             return fq, nl, s0
         fq = pcells_frame(x, nl, cfg.cell_spec, cfg.params, centralized,
-                          row_range=crr, axis_name=ax)
+                          row_range=crr, axis_name=ax,
+                          need_expert=cfg.need_expert)
     elif cfg.path == "cells":
         from multiagent_gnn_policies_tpu.ops.cells import (
             build_cell_grid,
@@ -511,6 +515,7 @@ def rollout_large(
     force_n_dev: Optional[int] = None,
     traj_agents: int = 0,
     scan_chunks: int = 1,
+    n_episodes: int = 1,
 ) -> Tuple[jax.Array, ...]:
     """One greedy episode at scale. Returns ``(rewards (T,), final_x)``
     (plus the sparse paths' max neighbor-structure overflow count when
@@ -553,6 +558,13 @@ def rollout_large(
         for any value >= 1; 2.0 quarters slot count and kernel area at
         the canonical density, with the overflow gate still certifying
         capacity per step).
+      n_episodes: roll this many episodes inside ONE jitted program (a
+        ``lax.scan`` over episode keys derived from ``key``) — returns the
+        concatenated (E·T,) rewards, the LAST episode's final state, and
+        the max overflow over episodes. Benchmarks use it to amortize the
+        per-dispatch host latency (the axon tunnel costs ~25 ms per call —
+        at sub-ms step times a single-episode dispatch is half RTT);
+        incompatible with ``traj_agents``/``scan_chunks``.
       force_n_dev: MEASUREMENT KNOB — partition the sweeps as if the mesh
         had this many devices while running on the given (smaller) mesh.
         On a 1-device mesh each step then executes exactly device 0's
@@ -609,6 +621,10 @@ def rollout_large(
         path=path, cap=cap or 32, cell_spec=cell_spec, n_dev=n_dev,
         emulated=(force_n_dev is not None
                   and force_n_dev != mesh.shape[axis]),
+        # greedy policy rollouts never read fq.expert — skip the O(N)
+        # replicated consensus/expert tail (the trainers build their own
+        # cfg with the default need_expert=True for DAGGER labels)
+        need_expert=(expert_mode or path != "pcells"),
     )
     if scan_chunks > 1:
         # Chunked episode: C jitted scans with the episode state crossing
@@ -638,6 +654,14 @@ def rollout_large(
             rewards = cat(outs)
         x, ovf = state[0], state[6]
         out = (rewards, x, ovf) + ((traj,) if traj_agents else ())
+    elif n_episodes > 1:
+        if traj_agents:
+            raise ValueError("n_episodes > 1 is timing-oriented; trajectory "
+                             "dumps need per-episode calls")
+        out = _jitted_chain(
+            cfg, acfg, p.episode_steps, expert_mode, centralized_expert,
+            mesh, n_episodes,
+        )(params, key)
     else:
         out = _jitted_rollout(
             cfg, acfg, p.episode_steps, expert_mode, centralized_expert,
@@ -664,6 +688,30 @@ def _jitted_chunked(cfg, acfg, expert_mode, centralized, mesh, traj_agents):
     sh_chunk = jax.shard_map(chunk, mesh=mesh, in_specs=(P(), P(), P()),
                              out_specs=P(), check_vma=False)
     return jax.jit(sh_init), jax.jit(sh_chunk)
+
+
+@lru_cache(maxsize=64)
+def _jitted_chain(cfg, acfg, T, expert_mode, centralized, mesh, n_episodes):
+    """Jitted E-episode chain (rollout_large ``n_episodes``): one scan of
+    full episodes per dispatch, so steady-state step timing is not half
+    host-RTT at small per-device step times (scripts/bench_scaling.py)."""
+    def run(params, key):
+        def ep(_, k):
+            r, x, ovf = _rollout_body(cfg, acfg, params, k, T=T,
+                                      expert_mode=expert_mode,
+                                      centralized=centralized)
+            return None, (r, x, ovf)
+        _, (rs, xs, ovfs) = jax.lax.scan(
+            ep, None, jax.random.split(key, n_episodes))
+        return rs.reshape(-1), xs[-1], jnp.max(ovfs)
+
+    if mesh is None:
+        return jax.jit(run)
+    sharded = jax.shard_map(
+        run, mesh=mesh, in_specs=(P(), P()), out_specs=(P(),) * 3,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 @lru_cache(maxsize=64)

@@ -60,6 +60,11 @@ def main(argv=None):
     ap.add_argument("--devs", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--chain", type=int, default=1,
+                    help="episodes rolled inside ONE jitted dispatch "
+                         "(rollout_large n_episodes) — amortizes the "
+                         "~25 ms tunnel RTT that dominates sub-ms "
+                         "per-device step times")
     ap.add_argument("--mode", default="band", choices=["band", "mesh"])
     ap.add_argument("--edge-mult", type=float, default=1.0,
                     help="pcells cell-edge multiple (occupancy/padding "
@@ -110,7 +115,7 @@ def main(argv=None):
             r, _, ovf = rollout_large(
                 params, acfg, jax.random.key(1), p, path=args.path,
                 return_overflow=True, cell_edge_mult=args.edge_mult,
-                cap=args.cap, **kw,
+                cap=args.cap, n_episodes=args.chain, **kw,
             )
             # host sync via np.asarray — block_until_ready is a no-op on
             # the axon TPU tunnel (same workaround as bench.py)
@@ -118,7 +123,7 @@ def main(argv=None):
             return ovf
 
         ep_s = _time_rollout(run, args.episodes)
-        ms = ep_s / args.steps * 1e3
+        ms = ep_s / (args.steps * args.chain) * 1e3
         if d == args.devs[0]:
             t1 = ms * d          # normalize in case devs[0] != 1
         eff = t1 / (d * ms)

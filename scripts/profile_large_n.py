@@ -65,6 +65,14 @@ def main(argv=None):
     ap.add_argument("--path", default="pcells")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--out", default="/tmp/xprof_large_n")
+    ap.add_argument("--edge-mult", type=float, default=1.0,
+                    help="pcells cell-edge multiple (make_pcell_spec)")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="cell slot capacity override")
+    ap.add_argument("--force-n-dev", type=int, default=None,
+                    help="band-mode emulation: profile device 0's program "
+                         "of a D-chip mesh (scripts/bench_scaling.py "
+                         "semantics; results NOT a valid episode)")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.utils.jax_setup import (
@@ -87,9 +95,18 @@ def main(argv=None):
     p = FlockingParams(n_agents=args.n, episode_steps=args.steps,
                        max_resets=2)
 
+    kw = {}
+    if args.force_n_dev:
+        from jax.sharding import Mesh
+
+        kw = dict(mesh=Mesh(np.asarray(jax.devices()[:1]), ("agents",)),
+                  force_n_dev=args.force_n_dev)
+
     def run(key):
         r, _, ovf = rollout_large(params, acfg, key, p, path=args.path,
-                                  return_overflow=True)
+                                  return_overflow=True,
+                                  cell_edge_mult=args.edge_mult,
+                                  cap=args.cap, **kw)
         return float(np.asarray(r).sum()), int(ovf)
 
     t0 = time.time()

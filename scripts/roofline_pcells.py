@@ -119,6 +119,8 @@ def main(argv=None):
     ap.add_argument("--edge-mult", type=float, default=1.0,
                     help="cell edge multiple (make_pcell_spec edge_mult: "
                          "occupancy/padding trade)")
+    ap.add_argument("--cap", type=int, default=16,
+                    help="cell slot capacity (make_pcell_spec cap)")
     args = ap.parse_args(argv)
 
     from multiagent_gnn_policies_tpu.envs.flocking import (
@@ -134,7 +136,7 @@ def main(argv=None):
 
     n, k, reps = args.n, args.k, args.reps
     p = FlockingParams(n_agents=n, episode_steps=8)
-    spec = make_pcell_spec(p, edge_mult=args.edge_mult)
+    spec = make_pcell_spec(p, cap=args.cap, edge_mult=args.edge_mult)
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
     f = 6
     c_cols = (k - 1) * f                       # fused s=0 apply columns
@@ -183,8 +185,8 @@ def main(argv=None):
     # (a, b) pair element per offset incl. the group-sum reduction
     frame_flops = 45 * cap * cap * cyp * 9 * cx
     dt = timed_scan(
-        lambda eps, pk: pc._sweep(fk, cx, grid.row_count, pk + eps,
-                                  10 * cap, interp),
+        lambda eps, pk: pc._sweep(fk, pk + eps, 10 * cap, interp,
+                                  valid_ch=4, cap=cap),
         (packed5,), reps, "frame kernel")
     rows.append(("frame kernel (sweep)", dt,
                  tbl(5) + tbl(10), frame_flops, 3 * tbl(5) + tbl(10)))
@@ -193,15 +195,15 @@ def main(argv=None):
     # apply sweep kernel only (split-table fused variant: geo + cols +
     # frame-output degrees)
     colt = pc._pack(grid, spec, cols)
-    fout = pc._sweep(fk, cx, grid.row_count, packed5, 10 * cap, interp)
+    fout = pc._sweep(fk, packed5, 10 * cap, interp, valid_ch=4, cap=cap)
     fpad = jnp.pad(fout, ((1, 1), (0, 0), (0, 0)))
     ak = functools.partial(pc._apply_deg_kernel, cap=cap, c=c_cols,
                            r2cut=float(p.comm_radius) ** 2)
     apply_flops = (11 + 2 * c_cols) * cap * cap * cyp * 9 * cx
     dt = timed_scan(
-        lambda eps, ct, fp: pc._sweep_deg(ak, cx, grid.row_count, packed5,
-                                          ct + eps, fp, c_cols * cap,
-                                          interp),
+        lambda eps, ct, fp: pc._sweep_deg(ak, packed5, ct + eps, fp,
+                                          c_cols * cap, interp,
+                                          valid_ch=4, cap=cap),
         (colt, fpad), reps, "apply kernel")
     rows.append((f"apply kernel ({c_cols}ch)", dt,
                  tbl(5 + c_cols) + tbl(10) + tbl(c_cols), apply_flops,
@@ -210,8 +212,8 @@ def main(argv=None):
 
     # unpack of the concatenated frame+apply output (22 ch per agent)
     both = jnp.concatenate([fout, pc._sweep_deg(
-        ak, cx, grid.row_count, packed5, colt, fpad, c_cols * cap,
-        interp)], axis=1)
+        ak, packed5, colt, fpad, c_cols * cap, interp,
+        valid_ch=4, cap=cap)], axis=1)
     q = 10 + c_cols
     dt = timed_scan(
         lambda eps, b: pc._unpack(grid, spec, b + eps),
@@ -262,6 +264,7 @@ def main(argv=None):
             (slot,), reps, "grid tables")
         brows.append(("grid tables (replicated)", dt)); fmt_row(*brows[-1])
 
+
         geo5 = jnp.concatenate([x, jnp.ones((n, 1), x.dtype)], axis=-1)
         dt = timed_scan(
             lambda eps, v: pc._pack(grid, spec, v + eps, row_range=rr),
@@ -274,25 +277,24 @@ def main(argv=None):
 
         bgeo = pc._pack(grid, spec, geo5, row_range=rr)
         dt = timed_scan(
-            lambda eps, pk: pc._sweep(fk, cx, grid.row_count, pk + eps,
-                                      10 * cap, interp, row_range=rr),
+            lambda eps, pk: pc._sweep(fk, pk + eps, 10 * cap, interp,
+                                      valid_ch=4, cap=cap),
             (bgeo,), reps, "band frame sweep")
         brows.append(("band frame sweep", dt)); fmt_row(*brows[-1])
 
         bcol = pc._pack(grid, spec, cols, row_range=rr)
-        bfout = pc._sweep(fk, cx, grid.row_count, bgeo, 10 * cap, interp,
-                          row_range=rr)
+        bfout = pc._sweep(fk, bgeo, 10 * cap, interp, valid_ch=4, cap=cap)
         bfpad = jnp.pad(bfout, ((1, 1), (0, 0), (0, 0)))
         dt = timed_scan(
             lambda eps, ct, fp: pc._sweep_deg(
-                ak, cx, grid.row_count, bgeo, ct + eps, fp,
-                c_cols * cap, interp, row_range=rr),
+                ak, bgeo, ct + eps, fp, c_cols * cap, interp,
+                valid_ch=4, cap=cap),
             (bcol, bfpad), reps, "band apply sweep")
         brows.append(("band apply sweep 12ch", dt)); fmt_row(*brows[-1])
 
         bboth = jnp.concatenate([bfout, pc._sweep_deg(
-            ak, cx, grid.row_count, bgeo, bcol, bfpad, c_cols * cap,
-            interp, row_range=rr)], axis=1)
+            ak, bgeo, bcol, bfpad, c_cols * cap, interp,
+            valid_ch=4, cap=cap)], axis=1)
         dt = timed_scan(
             lambda eps, b: pc._unpack_band(grid, spec, b + eps, 0),
             (bboth,), reps, "band unpack")

@@ -52,8 +52,8 @@ def test_pack_unpack_roundtrip(seed):
     assert packed.shape == (SPEC.cx + 2, 4 * SPEC.cap, SPEC.cy_pad)
     back = _unpack(grid, SPEC, packed[1:-1])
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
-    # agents per grid row must add up to N when overflow == 0
-    assert int(grid.row_count.sum()) == x.shape[0]
+    # every agent must hold a packed slot when overflow == 0
+    assert int((grid.slot >= 0).sum()) == x.shape[0]
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -246,7 +246,7 @@ def test_sharded_grid_build_bitwise(n_dev):
         lambda pos: build_pcell_grid_sharded(pos, spec, "agents", n_dev),
         mesh=mesh, in_specs=SP(), out_specs=SP(), check_vma=False,
     ))(x[:, :2])
-    for field in ("slot", "agent", "row_count", "overflow"):
+    for field in ("slot", "agent", "overflow"):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, field)), np.asarray(getattr(want, field)),
             err_msg=field,
