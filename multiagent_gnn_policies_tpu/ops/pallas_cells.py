@@ -345,12 +345,26 @@ def _pack(
     ``None`` = the full grid (identical to the banded form with
     ``start=0, local=cx``).
 
-    Layout note (r5): a per-channel-gather variant (gather from the
-    transposed ``(C, N+1)`` table + large-block transpose) was measured
-    SLOWER at N=100k (pack 1.3 -> 3.2 ms, and the downstream kernel paid
-    an input relayout: frame sweep 8.1 -> 10.2 ms —
-    results/roofline_n100k_v2.log vs roofline_n100k.log), so the
-    row-gather + per-row transpose form below stands."""
+    Layout note (r5): the slot-row gather's cost is ~7 ns PER SLOT ROW
+    at N=1M (236 ms/step across the two packs, XProf fusions 236/219,
+    results/profile_n1m_r5.log) — per-row gather overhead, NOT source
+    cache misses. Three alternatives were measured and rejected so they
+    are not retried:
+
+    * per-channel 1-D gathers ((N+1,) vectors): 80x WORSE at N=500k —
+      TPU gathers want the 2-D row form;
+    * channel-major 2-D gather + block transpose: 2.5x worse at 100k
+      plus a downstream kernel relayout (results/roofline_n100k_v2.log);
+    * sorted-locality chain (permute vals to build order, gather via a
+      slot->sorted-position table so each grid row reads a contiguous
+      ~70 KB block): 476 vs 460 ms/step at N=1M — locality does not
+      help a per-row-overhead-bound gather.
+
+    The lever that DOES move this cost is slot count (cell geometry —
+    ``make_pcell_spec edge_mult``): the occupancy-adaptive kernels make
+    a large ``cap`` cheap, so wider cells with generous caps cut gather
+    rows without losing exactness headroom.
+    """
     n, c = vals.shape
     cx, cy, cap, cyp = spec.cx, spec.cy, spec.cap, spec.cy_pad
     start, local = (0, cx) if row_range is None else row_range

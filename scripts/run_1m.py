@@ -39,11 +39,18 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--chunks", type=int, default=4)
-    ap.add_argument("--edge-mult", type=float, default=1.0,
-                    help="pcells cell-edge multiple (occupancy/padding "
-                         "trade; make_pcell_spec edge_mult)")
-    ap.add_argument("--cap", type=int, default=None,
-                    help="cell slot capacity override")
+    ap.add_argument("--edge-mult", type=float, default=2.0,
+                    help="pcells cell-edge multiple (make_pcell_spec "
+                         "edge_mult). Default 2.0 with --cap 32: at N=1M "
+                         "the pack's slot-row gather is the step's "
+                         "dominant cost (~7 ns/row), so halving slot "
+                         "count vs edge1/cap16 took the full horizon "
+                         "460 -> 322 ms/step, overflow=0 certified "
+                         "(results/run_1m_e2c32_head.log)")
+    ap.add_argument("--cap", type=int, default=32,
+                    help="cell slot capacity (the occupancy-adaptive "
+                         "kernels price rows by occupancy, so a generous "
+                         "cap costs slots, not compute)")
     ap.add_argument("--traj", default=None,
                     help="dump a 2000-agent subset trajectory npz here")
     args = ap.parse_args()
